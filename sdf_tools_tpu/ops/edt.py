@@ -1,0 +1,368 @@
+"""Exact Euclidean distance transform + signed-field extraction, TPU-native.
+
+Replaces the reference's serial bucket-queue brushfire
+(``/root/reference/include/sdf_tools/sdf_generation.hpp:95-207``) with an
+exact separable EDT:
+
+  * Axis pass 1 (binary seeds): per-line distance-to-nearest-seed via two
+    ``lax.cummax`` prefix scans — fully parallel, O(N).
+  * Axis passes 2/3 (parabolic lower envelope over already-squared values):
+    two interchangeable exact backends:
+      - ``"stencil"``: iterated 3-tap min-plus relaxation with odd weights
+        1,3,5,... (i^2 = sum of first i odd numbers, so T iterations exactly
+        resolve sources up to distance T), run under ``lax.while_loop`` with a
+        sound early-exit: values are non-increasing and weights are strictly
+        increasing, so one quiescent sweep certifies global convergence.
+        Pure vectorized shifts/mins — zero divergence, halo-shardable.
+      - ``"scan"``: lockstep-vectorized integer Meijster envelope scan
+        (exact O(n) work per line; all-integer arithmetic, no rationals).
+      - ``"brute"``: O(n^2) min-plus by broadcasting (tests / tiny grids).
+
+Distances are **exact int32 squared cell distances** (the reference's own
+integer-d^2 representation, ``sdf_generation.hpp:87-93``); note the
+reference's propagation is NOT exact — it rarely overestimates d^2 (a known
+property of vector-propagation EDTs; verified empirically vs brute force).
+We compute the true EDT and document the deviation in tests.
+
+Signed combine (``sdf_generation.hpp:242-268``): every voxel is a seed of
+exactly one field, so the signed value is ±sqrt(d^2)·resolution: positive in
+free space (distance to nearest filled), negative in filled space (distance
+to nearest free; hence filled cells are at most -resolution).
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from ..grid import GridMeta, SdfGrid
+
+Array = jax.Array
+
+# Sentinel for "no seed reachable": large enough to never be beaten by a real
+# d^2 (max real = 3n^2), small enough that sentinel + 2n^2 fits int32 for any
+# practical n (<= 16384 per axis).
+INF_D2 = jnp.int32(1 << 29)
+
+
+# ---------------------------------------------------------------------------
+# Axis pass 1: binary line distance via prefix scans
+# ---------------------------------------------------------------------------
+
+
+def line_distance_to_seed(mask: Array, axis: int) -> Array:
+    """Distance (in cells, int32) along ``axis`` to the nearest True in ``mask``.
+
+    Cells in lines with no seed get a large sentinel (~INF). Implemented as
+    two cummax scans over seed positions — no sequential loops.
+    """
+    mask = jnp.asarray(mask, bool)
+    n = mask.shape[axis]
+    shape = [1] * mask.ndim
+    shape[axis] = n
+    iota = jnp.arange(n, dtype=jnp.int32).reshape(shape)
+    NEG = jnp.int32(-(1 << 30))
+    POS = jnp.int32(1 << 30)
+
+    # forward: index of most recent seed at or before i
+    last_seed = lax.cummax(jnp.where(mask, iota, NEG), axis=axis)
+    fwd = iota - last_seed  # >= 0; huge where no seed yet
+    # backward: index of next seed at or after i
+    next_seed = -lax.cummax(jnp.where(mask, -iota, NEG), axis=axis, reverse=True)
+    bwd = next_seed - iota
+    d = jnp.minimum(fwd, bwd)
+    # lines without any seed produce values near 2^30; clamp to a clean code
+    return jnp.minimum(d, jnp.int32(1 << 24)).astype(jnp.int32)
+
+
+def _line_d2(mask: Array, axis: int) -> Array:
+    d = line_distance_to_seed(mask, axis)
+    no_seed = d >= jnp.int32(1 << 24)
+    return jnp.where(no_seed, INF_D2, d * d).astype(jnp.int32)
+
+
+# ---------------------------------------------------------------------------
+# Parabolic envelope pass backends (exact 1-D transform of already-squared f)
+#   out[i] = min_j f[j] + (i-j)^2   along `axis`, batched over the rest.
+# ---------------------------------------------------------------------------
+
+
+def _shift_with_inf(f: Array, axis: int, shift: int) -> Array:
+    """Shift ``f`` along ``axis`` by ``shift`` cells, filling with INF."""
+    n = f.shape[axis]
+    pad_lo = max(shift, 0)
+    pad_hi = max(-shift, 0)
+    padded = jnp.pad(
+        f,
+        [(pad_lo, pad_hi) if a == axis else (0, 0) for a in range(f.ndim)],
+        constant_values=INF_D2,
+    )
+    start = [pad_hi if a == axis else 0 for a in range(f.ndim)]
+    return lax.dynamic_slice(padded, start, f.shape)
+
+
+def envelope_pass_stencil(f: Array, axis: int, max_iters: Optional[int] = None) -> Array:
+    """Exact envelope via iterated odd-weight 3-tap min-plus with early exit."""
+    n = f.shape[axis]
+    if n == 1:
+        return f
+    if max_iters is None:
+        max_iters = n - 1
+
+    def cond(state):
+        d, t, done = state
+        return jnp.logical_and(~done, t <= max_iters)
+
+    def body(state):
+        d, t, _ = state
+        c = 2 * t - 1  # odd weight at iteration t
+        up = _shift_with_inf(d, axis, 1)
+        dn = _shift_with_inf(d, axis, -1)
+        # saturating add: INF stays INF-ish (INF + c still > any real value)
+        cand = jnp.minimum(up, dn) + c
+        new_d = jnp.minimum(d, cand)
+        done = jnp.all(new_d == d)
+        return new_d, t + 1, done
+
+    d0 = jnp.asarray(f, jnp.int32)
+    out, _, _ = lax.while_loop(cond, body, (d0, jnp.int32(1), jnp.array(False)))
+    return out
+
+
+def envelope_pass_brute(f: Array, axis: int) -> Array:
+    """O(n^2) exact min-plus by broadcasting (small n only)."""
+    n = f.shape[axis]
+    if n == 1:
+        return f
+    fm = jnp.moveaxis(jnp.asarray(f, jnp.int32), axis, -1)  # [..., n]
+    i = jnp.arange(n, dtype=jnp.int32)
+    quad = (i[:, None] - i[None, :]) ** 2  # [n_i, n_j]
+    out = jnp.min(fm[..., None, :] + quad, axis=-1)
+    return jnp.moveaxis(out, -1, axis)
+
+
+def envelope_pass_scan(f: Array, axis: int) -> Array:
+    """Exact envelope via lockstep-vectorized integer Meijster scan.
+
+    Per line: forward scan builds the stack of candidate parabolas (s = apex
+    positions, t = integer takeover boundaries); backward scan evaluates.
+    All lines are processed in lockstep with masked pops; all arithmetic is
+    int32 (valid for n up to ~16k with the INF_D2 sentinel).
+    """
+    n = f.shape[axis]
+    if n == 1:
+        return f
+    fm = jnp.moveaxis(jnp.asarray(f, jnp.int32), axis, -1)
+    batch_shape = fm.shape[:-1]
+    B = 1
+    for s in batch_shape:
+        B *= s
+    fb = fm.reshape(B, n)
+
+    def F(x, i, fi):
+        d = x - i
+        return d * d + fi
+
+    def gather(arr, idx):
+        return jnp.take_along_axis(arr, idx[:, None], axis=1)[:, 0]
+
+    rows = jnp.arange(B)
+
+    def fwd_step(carry, u):
+        s, t, q, fs = carry
+        # fs: f[s[q]] cached per stack slot to avoid re-gathering f
+        fu = fb[:, u]
+
+        # pop while F(t[q], s[q]) > F(t[q], u)
+        def pop_cond(st):
+            s_, t_, q_, fs_, _ = st
+            qc = jnp.maximum(q_, 0)
+            tq = gather(t_, qc)
+            sq = gather(s_, qc)
+            fsq = gather(fs_, qc)
+            bad = (q_ >= 0) & (F(tq, sq, fsq) > F(tq, u, fu))
+            return jnp.any(bad)
+
+        def pop_body(st):
+            s_, t_, q_, fs_, _ = st
+            qc = jnp.maximum(q_, 0)
+            tq = gather(t_, qc)
+            sq = gather(s_, qc)
+            fsq = gather(fs_, qc)
+            bad = (q_ >= 0) & (F(tq, sq, fsq) > F(tq, u, fu))
+            return s_, t_, jnp.where(bad, q_ - 1, q_), fs_, jnp.array(0)
+
+        s, t, q, fs, _ = lax.while_loop(
+            pop_cond, pop_body, (s, t, q, fs, jnp.array(0))
+        )
+
+        revived = q < 0
+        qc = jnp.maximum(q, 0)
+        sq = gather(s, qc)
+        fsq = gather(fs, qc)
+        # integer Sep (floor division; operands fit int32):
+        #   Sep(i,u) = (u^2 - i^2 + f[u] - f[i]) // (2(u-i))
+        den = 2 * (u - sq)
+        den = jnp.maximum(den, 1)  # masked when revived
+        w = 1 + (u * u - sq * sq + fu - fsq) // den
+        push = (~revived) & (w < n)
+        new_q = jnp.where(revived, 0, jnp.where(push, q + 1, q))
+        write = revived | push
+        wq = jnp.where(write, new_q, n)  # out-of-range -> dropped by scatter mode
+        s = s.at[rows, wq].set(jnp.where(write, u, 0), mode="drop")
+        fs = fs.at[rows, wq].set(jnp.where(write, fu, 0), mode="drop")
+        t = t.at[rows, wq].set(jnp.where(revived, 0, w), mode="drop")
+        return (s, t, new_q, fs), None
+
+    s0 = jnp.zeros((B, n), jnp.int32)
+    t0 = jnp.zeros((B, n), jnp.int32)
+    fs0 = jnp.zeros((B, n), jnp.int32).at[:, 0].set(fb[:, 0])
+    q0 = jnp.zeros((B,), jnp.int32)
+    (s, t, q, fs), _ = lax.scan(
+        fwd_step, (s0, t0, q0, fs0), jnp.arange(1, n, dtype=jnp.int32)
+    )
+
+    def bwd_step(carry, u):
+        q_ = carry
+        sq = gather(s, q_)
+        fsq = gather(fs, q_)
+        d = F(u, sq, fsq)
+        tq = gather(t, q_)
+        q_ = jnp.where((u == tq) & (q_ > 0), q_ - 1, q_)
+        return q_, d
+
+    _, ds = lax.scan(bwd_step, q, jnp.arange(n - 1, -1, -1, dtype=jnp.int32))
+    out = jnp.flip(ds.T, axis=1)  # [B, n]
+    out = jnp.minimum(out, INF_D2 + jnp.int32(2 * n * n))
+    return jnp.moveaxis(out.reshape(batch_shape + (n,)), -1, axis)
+
+
+_ENVELOPE_BACKENDS = {
+    "stencil": envelope_pass_stencil,
+    "brute": envelope_pass_brute,
+    "scan": envelope_pass_scan,
+}
+
+
+# ---------------------------------------------------------------------------
+# Full squared EDT and signed-field extraction
+# ---------------------------------------------------------------------------
+
+
+def squared_edt(seed_mask: Array, backend: str = "stencil") -> Array:
+    """Exact int32 squared Euclidean cell distances to the True set of ``seed_mask``.
+
+    Equivalent to the d^2 field of the reference's BuildDistanceField
+    (``sdf_generation.hpp:95``) except exact (see module docstring). Values
+    >= INF_D2 mean "no seed exists anywhere".
+    """
+    env = _ENVELOPE_BACKENDS[backend]
+    mask = jnp.asarray(seed_mask, bool)
+    if mask.ndim != 3:
+        raise ValueError(f"expected 3D mask, got shape {mask.shape}")
+    # pass 1 along the axis with the largest extent is not required for
+    # correctness; axis 0 keeps things simple.
+    f = _line_d2(mask, 0)
+    f = env(f, 1)
+    f = env(f, 2)
+    return f
+
+
+def d2_to_distance(d2: Array, resolution: Array, dtype=jnp.float32) -> Array:
+    """sqrt(d^2) * resolution with the INF sentinel mapped to +inf."""
+    v = jnp.where(d2 >= INF_D2, jnp.inf, d2.astype(dtype))
+    return jnp.sqrt(v) * jnp.asarray(resolution, dtype)
+
+
+def signed_field_from_masks(
+    filled_mask: Array, resolution: Array, backend: str = "stencil", dtype=jnp.float32
+) -> Tuple[Array, Array, Array]:
+    """Two-field signed distance values (reference sdf_generation.hpp:242-268).
+
+    Returns (sdf_values, max_distance, min_distance); value semantics match
+    the reference: positive in free space, negative (<= -res) inside filled.
+    """
+    filled_mask = jnp.asarray(filled_mask, bool)
+    d2_filled = squared_edt(filled_mask, backend=backend)
+    d2_free = squared_edt(~filled_mask, backend=backend)
+    dist = d2_to_distance(d2_filled, resolution, dtype) - d2_to_distance(
+        d2_free, resolution, dtype
+    )
+    return dist, jnp.max(dist), jnp.min(dist)
+
+
+def _virtual_border_masks(filled_mask: Array) -> Tuple[Array, Array, Tuple[slice, ...]]:
+    """Enlarged masks for the virtual-border variant (sdf_generation.hpp:289-379)."""
+    shape = filled_mask.shape
+    offs = tuple(2 if s > 1 else 0 for s in shape)
+    qoffs = tuple(1 if s > 1 else 0 for s in shape)
+    big = jnp.pad(
+        filled_mask,
+        [(q, o - q) for q, o in zip(qoffs, offs)],
+        constant_values=False,
+    )
+    border = jnp.zeros(big.shape, bool)
+    for ax, o in enumerate(offs):
+        if o > 0:
+            idx_lo = [slice(None)] * 3
+            idx_hi = [slice(None)] * 3
+            idx_lo[ax] = 0
+            idx_hi[ax] = big.shape[ax] - 1
+            border = border.at[tuple(idx_lo)].set(True)
+            border = border.at[tuple(idx_hi)].set(True)
+    inner = tuple(slice(q, q + s) for q, s in zip(qoffs, shape))
+    free_variant = big | border  # border pretended filled
+    filled_variant = big & ~border  # border pretended empty
+    return free_variant, filled_variant, inner
+
+
+def signed_field_virtual_border(
+    filled_mask: Array, resolution: Array, backend: str = "stencil", dtype=jnp.float32
+) -> Tuple[Array, Array, Array]:
+    """Virtual-border signed field (reference sdf_generation.hpp:273-420).
+
+    Grows the grid by one cell per side (per axis with >1 cells), computes a
+    "free" SDF with the border pretended filled and a "filled" SDF with the
+    border pretended empty, then combines: free value if >= 0, else filled
+    value if <= -0, else 0. Extrema = (free max, filled min) over the
+    enlarged grids, matching the reference.
+    """
+    free_variant, filled_variant, inner = _virtual_border_masks(
+        jnp.asarray(filled_mask, bool)
+    )
+    free_sdf, free_max, _ = signed_field_from_masks(
+        free_variant, resolution, backend, dtype
+    )
+    filled_sdf, _, filled_min = signed_field_from_masks(
+        filled_variant, resolution, backend, dtype
+    )
+    fs = free_sdf[inner]
+    bs = filled_sdf[inner]
+    combined = jnp.where(fs >= 0.0, fs, jnp.where(bs <= -0.0, bs, jnp.zeros_like(fs)))
+    return combined, free_max, filled_min
+
+
+def extract_signed_distance_field(
+    filled_mask: Array,
+    meta: GridMeta,
+    oob_value=jnp.inf,
+    add_virtual_border: bool = False,
+    backend: str = "stencil",
+) -> Tuple[SdfGrid, Tuple[Array, Array]]:
+    """Build an SdfGrid from a filled-voxel mask.
+
+    TPU-native equivalent of the reference's primary entry point
+    ``CollisionMapGrid::ExtractSignedDistanceField``
+    (``/root/reference/include/sdf_tools/collision_map.hpp:680-712`` ->
+    ``sdf_generation.hpp:274``). Returns (sdf, (max_distance, min_distance)).
+    """
+    if add_virtual_border:
+        values, mx, mn = signed_field_virtual_border(
+            filled_mask, meta.resolution, backend
+        )
+    else:
+        values, mx, mn = signed_field_from_masks(filled_mask, meta.resolution, backend)
+    return SdfGrid.create(values, meta, oob_value), (mx, mn)

@@ -1,0 +1,155 @@
+"""EDT correctness: all backends vs brute-force ground truth and the
+reference-faithful oracle (see sdf_tools_tpu/oracle/reference_edt.py).
+
+Pinned semantics from /root/reference/test/test_bindings.py and
+sdf_generation.hpp: filled cells = -res, free neighbors = +res, etc.
+"""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from sdf_tools_tpu.ops import edt
+from sdf_tools_tpu.oracle import reference_edt as oracle
+from sdf_tools_tpu.grid import GridMeta, make_origin_transform
+
+BACKENDS = ["stencil", "brute", "scan"]
+
+
+def _random_mask(rng, shape, p):
+    m = rng.random(shape) < p
+    if not m.any():
+        m[tuple(0 for _ in shape)] = True
+    return m
+
+
+@pytest.mark.parametrize("backend", BACKENDS)
+@pytest.mark.parametrize(
+    "shape,p",
+    [
+        ((8, 8, 8), 0.1),
+        ((12, 9, 7), 0.05),
+        ((16, 16, 1), 0.2),
+        ((1, 20, 14), 0.3),
+        ((6, 30, 6), 0.5),
+        ((5, 5, 5), 0.9),
+    ],
+)
+def test_squared_edt_exact(backend, shape, p):
+    rng = np.random.default_rng(hash((shape, int(p * 100))) % (2**31))
+    mask = _random_mask(rng, shape, p)
+    ours = np.asarray(edt.squared_edt(jnp.asarray(mask), backend=backend))
+    truth = oracle.brute_force_d2(shape, mask)
+    np.testing.assert_array_equal(ours, truth)
+
+
+@pytest.mark.parametrize("backend", BACKENDS)
+def test_squared_edt_no_seeds(backend):
+    mask = np.zeros((4, 5, 6), bool)
+    ours = np.asarray(edt.squared_edt(jnp.asarray(mask), backend=backend))
+    assert (ours >= int(edt.INF_D2)).all()
+
+
+@pytest.mark.parametrize("backend", BACKENDS)
+def test_squared_edt_all_seeds(backend):
+    mask = np.ones((4, 5, 6), bool)
+    ours = np.asarray(edt.squared_edt(jnp.asarray(mask), backend=backend))
+    assert (ours == 0).all()
+
+
+def test_reference_oracle_only_overestimates():
+    """The reference bucket-queue EDT is not exact; it can only err upward.
+
+    This pins the relationship our bit-accuracy claims rest on: where the
+    reference and the exact EDT disagree, the reference's d^2 is larger
+    (it is a relaxation that terminates early in rare configurations).
+    """
+    rng = np.random.default_rng(42)
+    total = 0
+    mismatched = 0
+    for shape in [(8, 8, 8), (10, 10, 4)]:
+        for p in [0.05, 0.1, 0.3]:
+            mask = _random_mask(rng, shape, p)
+            ref = oracle.build_distance_field(shape, mask)
+            truth = oracle.brute_force_d2(shape, mask)
+            assert (ref >= truth).all()
+            mismatched += int((ref != truth).sum())
+            total += truth.size
+    # deviations must be rare
+    assert mismatched <= total * 0.001
+
+
+@pytest.mark.parametrize("backend", BACKENDS)
+def test_signed_field_matches_reference_combine(backend):
+    rng = np.random.default_rng(7)
+    shape = (10, 12, 6)
+    mask = _random_mask(rng, shape, 0.15)
+    res = 0.05
+    ours, mx, mn = edt.signed_field_from_masks(jnp.asarray(mask), res, backend=backend)
+    ours = np.asarray(ours)
+    ref, ref_mx, ref_mn = oracle.extract_sdf_reference(mask, res)
+    # exact d^2 everywhere the reference is exact; f32 sqrt/multiply match
+    exact_d2f = oracle.brute_force_d2(shape, mask)
+    exact_d2e = oracle.brute_force_d2(shape, ~mask)
+    ref_exact = (
+        np.sqrt(exact_d2f.astype(np.float64)) * res
+        - np.sqrt(exact_d2e.astype(np.float64)) * res
+    ).astype(np.float32)
+    np.testing.assert_allclose(ours, ref_exact, rtol=1e-6, atol=1e-7)
+    # and the oracle agrees except on its rare overestimates
+    agree = np.isclose(ours, ref, rtol=1e-6, atol=1e-7)
+    assert agree.mean() > 0.999
+
+
+def test_test_bindings_semantics():
+    """Replicates /root/reference/test/test_bindings.py through the core API."""
+    res = 0.05
+    # 20 wide (x) by 40 tall (y); obstacle at x=3, y=1 (reference grid indexing)
+    mask = np.zeros((20, 40, 1), bool)
+    mask[3, 1, 0] = True
+    sdf, _, _ = edt.signed_field_from_masks(jnp.asarray(mask), res, backend="stencil")
+    sdf = np.asarray(sdf)
+    assert np.isclose(sdf[3, 1, 0], -res)
+    assert np.isclose(sdf[3, 2, 0], res)
+    assert np.isclose(sdf[3, 0, 0], res)
+    assert np.isclose(sdf[2, 1, 0], res)
+    assert np.isclose(sdf[4, 1, 0], res)
+    assert sdf[6, 3, 0] > 3 * res
+
+
+@pytest.mark.parametrize("backend", ["stencil", "scan"])
+def test_virtual_border(backend):
+    rng = np.random.default_rng(3)
+    shape = (9, 8, 7)
+    mask = _random_mask(rng, shape, 0.2)
+    res = 0.1
+    ours, mx, mn = edt.signed_field_virtual_border(jnp.asarray(mask), res, backend=backend)
+    ref, ref_mx, ref_mn = oracle.extract_sdf_virtual_border_reference(mask, res)
+    agree = np.isclose(np.asarray(ours), ref, rtol=1e-6, atol=1e-7)
+    assert agree.mean() > 0.995  # oracle inexactness can leak into rare cells
+    assert np.isclose(mx, ref_mx, rtol=1e-5) or mx <= ref_mx  # ref overestimates
+    assert np.isclose(mn, ref_mn, rtol=1e-5) or mn >= ref_mn
+
+
+def test_virtual_border_flat_axis():
+    # 2D grid (z has one cell): border only grows x/y
+    mask = np.zeros((6, 6, 1), bool)
+    mask[2:4, 2:4, 0] = True
+    ours, _, _ = edt.signed_field_virtual_border(jnp.asarray(mask), 1.0)
+    ref, _, _ = oracle.extract_sdf_virtual_border_reference(mask, 1.0)
+    np.testing.assert_allclose(np.asarray(ours), ref, rtol=1e-6)
+
+
+def test_extract_entrypoint():
+    mask = np.zeros((8, 8, 8), bool)
+    mask[3:5, 3:5, 3:5] = True
+    meta = GridMeta.create(make_origin_transform([0.0, 0.0, 0.0]), 0.25, (8, 8, 8))
+    sdf, (mx, mn) = edt.extract_signed_distance_field(jnp.asarray(mask), meta, oob_value=-10000.0)
+    assert sdf.values.shape == (8, 8, 8)
+    assert float(mn) <= -0.25 and float(mx) > 0
+
+    sdf_jit = jax.jit(
+        lambda m: edt.extract_signed_distance_field(m, meta, oob_value=-10000.0)[0].values
+    )(jnp.asarray(mask))
+    np.testing.assert_allclose(np.asarray(sdf_jit), np.asarray(sdf.values))
