@@ -240,10 +240,19 @@ def envelope_pass_scan(f: Array, axis: int) -> Array:
     return jnp.moveaxis(out.reshape(batch_shape + (n,)), -1, axis)
 
 
+def _envelope_pass_pallas(f: Array, axis: int) -> Array:
+    """Pallas VMEM-resident kernel (see edt_pallas.py); interpreted off-TPU."""
+    from . import edt_pallas
+
+    interpret = jax.default_backend() not in ("tpu", "axon")
+    return edt_pallas.envelope_pass_pallas(f, axis, interpret=interpret)
+
+
 _ENVELOPE_BACKENDS = {
     "stencil": envelope_pass_stencil,
     "brute": envelope_pass_brute,
     "scan": envelope_pass_scan,
+    "pallas": _envelope_pass_pallas,
 }
 
 

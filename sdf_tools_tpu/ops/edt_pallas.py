@@ -1,0 +1,123 @@
+"""Pallas TPU kernels for the parabolic-envelope EDT pass.
+
+The envelope pass (out[i] = min_j f[j] + (i-j)^2 along one axis) is computed
+by the iterated odd-weight 3-tap min-plus relaxation (see ops/edt.py for the
+exactness argument: i^2 = 1+3+...+(2i-1), values non-increasing, weights
+increasing => per-tile quiescence certifies convergence).
+
+Kernel design (the reason this beats the XLA stencil by the memory roofline):
+  * The scanned axis is kept WHOLE inside VMEM; the grid tiles only the two
+    orthogonal axes. Dependencies grow strictly along the scanned axis, so a
+    tile needs NO halo — each program loads its block from HBM exactly once,
+    relaxes in VMEM until ITS OWN quiescence (data-adaptive iteration count),
+    and writes back once. HBM traffic per pass = one read + one write.
+  * Shifts along the scanned axis are sublane/lane rolls with an iota edge
+    mask — pure VPU work, zero divergence.
+
+Two kernel variants cover the two memory layouts:
+  * axis=1 of [X, Y, Z]: scanned axis on sublanes (block [xt, Y, zt]).
+  * axis=2 of [X, Y, Z]: scanned axis on lanes (block [xt, yt, Z]).
+axis=0 is not needed: squared_edt orders its passes so only axes 1 and 2
+run the envelope (axis 0 uses the cummax line pass).
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+INF_D2 = 1 << 29  # python int: kernels must not capture traced constants
+
+# Iterations per quiescence check: checking costs a full-tile reduce, so
+# batch a few relaxation steps between checks.
+_CHECK_EVERY = 4
+
+# Per-block byte budget (input block; ~6-8 live copies fit in 16MB VMEM).
+_BLOCK_BYTES = 1 * 1024 * 1024
+
+
+def _roll_shift(d, axis: int, shift: int, n: int):
+    """d shifted by `shift` along `axis` with INF fill (no wraparound)."""
+    rolled = pltpu.roll(d, shift=shift % n, axis=axis)  # circular; edges masked below
+    idx = lax.broadcasted_iota(jnp.int32, d.shape, axis)
+    if shift > 0:
+        mask = idx < shift
+    else:
+        mask = idx >= n + shift
+    return jnp.where(mask, INF_D2, rolled)
+
+
+def _envelope_kernel(axis: int, n: int, d_ref, out_ref):
+    """Relax out_ref[:] (initialized from d_ref) to the exact envelope."""
+    d0 = d_ref[:]
+
+    def cond(state):
+        t, _, done = state
+        return jnp.logical_and(jnp.logical_not(done), t <= n)
+
+    def body(state):
+        t, d, _ = state
+
+        def one(k, dd):
+            c = 2 * (t + k) - 1
+            up = _roll_shift(dd, axis, 1, n)
+            dn = _roll_shift(dd, axis, -1, n)
+            return jnp.minimum(dd, jnp.minimum(up, dn) + c)
+
+        new_d = lax.fori_loop(0, _CHECK_EVERY, one, d)
+        done = jnp.all(new_d == d)
+        return t + _CHECK_EVERY, new_d, done
+
+    _, d_final, _ = lax.while_loop(
+        cond, body, (jnp.int32(1), d0, jnp.array(False))
+    )
+    out_ref[:] = d_final
+
+
+def _pick_tile(total: int, target: int) -> int:
+    """Largest divisor of `total` that is <= target."""
+    t = min(target, total)
+    while total % t != 0:
+        t -= 1
+    return t
+
+
+@functools.partial(jax.jit, static_argnames=("axis", "interpret"))
+def envelope_pass_pallas(f: jax.Array, axis: int, interpret: bool = False) -> jax.Array:
+    """Exact envelope transform along `axis` (1 or 2) of a 3D int32 array."""
+    X, Y, Z = f.shape
+    n = f.shape[axis]
+    if n == 1:
+        return f
+    if axis == 1:
+        # scanned axis on sublanes: block [xt, Y, zt]
+        zt = _pick_tile(Z, 128)
+        # Pallas double-buffers in+out and the while carry keeps ~2 more
+        # copies live; keep the block small enough for ~12 copies in VMEM.
+        xt = _pick_tile(X, max(1, _BLOCK_BYTES // (Y * zt * 4)))
+        grid = (X // xt, Z // zt)
+        block = (xt, Y, zt)
+        index_map = lambda i, j: (i, 0, j)
+    elif axis == 2:
+        # scanned axis on lanes: block [xt, yt, Z]
+        yt = _pick_tile(Y, 8)
+        xt = _pick_tile(X, max(1, _BLOCK_BYTES // (yt * Z * 4)))
+        grid = (X // xt, Y // yt)
+        block = (xt, yt, Z)
+        index_map = lambda i, j: (i, j, 0)
+    else:
+        raise ValueError("envelope_pass_pallas supports axis 1 or 2")
+
+    kernel = functools.partial(_envelope_kernel, axis, n)
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[pl.BlockSpec(block, index_map, memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec(block, index_map, memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct(f.shape, jnp.int32),
+        interpret=interpret,
+    )(f)

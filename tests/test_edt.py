@@ -153,3 +153,16 @@ def test_extract_entrypoint():
         lambda m: edt.extract_signed_distance_field(m, meta, oob_value=-10000.0)[0].values
     )(jnp.asarray(mask))
     np.testing.assert_allclose(np.asarray(sdf_jit), np.asarray(sdf.values))
+
+
+@pytest.mark.parametrize(
+    "shape,p",
+    [((8, 16, 8), 0.1), ((16, 8, 32), 0.05), ((8, 8, 1), 0.3), ((4, 1, 16), 0.2)],
+)
+def test_pallas_backend_exact(shape, p):
+    """Pallas kernel (interpret mode on CPU) vs brute-force ground truth."""
+    rng = np.random.default_rng(hash((shape, int(p * 100))) % (2**31))
+    mask = _random_mask(rng, shape, p)
+    ours = np.asarray(edt.squared_edt(jnp.asarray(mask), backend="pallas"))
+    truth = oracle.brute_force_d2(shape, mask)
+    np.testing.assert_array_equal(ours, truth)
