@@ -1,0 +1,92 @@
+"""Benchmark: two-field exact EDT at 512^3 on one TPU chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...extras}.
+
+The metric is end-to-end signed-field throughput (both EDT fields + combine)
+in voxels/s on the BASELINE scene class (random spheres, ~8% fill).
+
+vs_baseline: the reference (UM-ARM-Lab/sdf_tools) publishes no numbers and
+its ROS/catkin stack cannot be built here, so the baseline is
+scipy.ndimage.distance_transform_edt — a C implementation of the same exact
+separable-EDT algorithm class, run twice (two fields) single-threaded on
+this machine's CPU, which is strictly FASTER than the reference's Python
+binding path (utils_3d.py per-voxel SetValue loop + bucket-queue).
+"""
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+
+def make_scene(n: int, seed: int = 0) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    c = rng.uniform(0, n, (40, 3))
+    r = rng.uniform(n * 0.03, n * 0.12, 40)
+    ii = np.arange(n)
+    mask = np.zeros((n, n, n), bool)
+    for k in range(40):
+        x2 = (ii - c[k, 0]) ** 2
+        y2 = (ii - c[k, 1]) ** 2
+        z2 = (ii - c[k, 2]) ** 2
+        mask |= (x2[:, None, None] + y2[None, :, None] + z2[None, None, :]) <= r[k] ** 2
+    return mask
+
+
+def bench_tpu(mask: np.ndarray, repeats: int = 5) -> float:
+    import jax
+    import jax.numpy as jnp
+
+    from sdf_tools_tpu.ops import edt
+
+    backend = "pallas" if jax.default_backend() in ("tpu", "axon") else "stencil"
+    m = jnp.asarray(mask)
+    f = jax.jit(lambda mm: edt.signed_field_from_masks(mm, 0.05, backend=backend)[0])
+    out = f(m)
+    out.block_until_ready()  # compile
+    times = []
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        out = f(m)
+        out.block_until_ready()
+        times.append(time.perf_counter() - t0)
+    return float(np.median(times))
+
+
+def bench_cpu_baseline(mask: np.ndarray) -> float:
+    from scipy import ndimage
+
+    t0 = time.perf_counter()
+    d_free = ndimage.distance_transform_edt(~mask)  # distance to filled
+    d_fill = ndimage.distance_transform_edt(mask)  # distance to free
+    _ = (d_free - d_fill).astype(np.float32)
+    return time.perf_counter() - t0
+
+
+def main():
+    n = 512
+    mask = make_scene(n)
+    t_tpu = bench_tpu(mask)
+    vox_per_s = n**3 / t_tpu
+
+    # CPU baseline at 256^3 extrapolated to 512^3 (8x voxels, same per-voxel
+    # cost for this algorithm class) to keep bench wall time bounded.
+    nb = 256
+    t_cpu_small = bench_cpu_baseline(make_scene(nb))
+    t_cpu = t_cpu_small * (n**3 / nb**3)
+
+    result = {
+        "metric": "edt_512_voxels_per_s",
+        "value": round(vox_per_s, 1),
+        "unit": "voxel/s",
+        "vs_baseline": round(t_cpu / t_tpu, 2),
+        "tpu_seconds": round(t_tpu, 4),
+        "cpu_baseline_seconds_extrapolated": round(t_cpu, 2),
+        "scene": f"{n}^3 random spheres, fill={mask.mean():.3f}",
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -128,7 +128,11 @@ def envelope_pass_stencil(f: Array, axis: int, max_iters: Optional[int] = None) 
         return new_d, t + 1, done
 
     d0 = jnp.asarray(f, jnp.int32)
-    out, _, _ = lax.while_loop(cond, body, (d0, jnp.int32(1), jnp.array(False)))
+    # initial done flag derived from d0 (always False) so its sharding
+    # varying-axis type matches the loop body's data-dependent flag under
+    # shard_map
+    done0 = jnp.all(d0 != d0)
+    out, _, _ = lax.while_loop(cond, body, (d0, jnp.int32(1), done0))
     return out
 
 

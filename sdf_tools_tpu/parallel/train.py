@@ -1,0 +1,139 @@
+"""Sharded end-to-end differentiable pipeline: the framework's flagship model.
+
+BASELINE north star: *pointcloud -> voxelize -> two-field EDT -> SDF ->
+sphere-traced depth -> loss -> gradients back to points*, sharded over a
+device mesh. This module provides the jittable training step used by
+``__graft_entry__.dryrun_multichip`` and by the scaling benchmarks.
+
+Mesh layout:
+  * ``dp``: data parallel over scenes (each dp row owns its scenes + point
+    parameters; per-scene gradients need no cross-dp reduction, but the
+    scalar loss is psum'd over dp for reporting).
+  * ``x``:  the voxel volume is sharded along its x axis; the EDT runs with
+    the boundary-summary collective (see parallel/sharded.py), the rendered
+    image is row-sharded over the same axis, and point gradients are
+    all-reduced over ``x`` (each shard holds a replica of the points and
+    backprops its local contribution).
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.sharding import Mesh, PartitionSpec as P
+
+from ..grid import GridMeta, SdfGrid, make_origin_transform
+from ..ops import diff, render, voxelize
+from . import sharded
+
+Array = jax.Array
+
+
+class PipelineConfig(NamedTuple):
+    grid_n: int = 64  # cubic grid edge (must divide by mesh x size)
+    resolution: float = 0.1
+    image_h: int = 32  # must divide by mesh x size
+    image_w: int = 32
+    t_max: float = 20.0
+    oob_value: float = 1e3
+    lr: float = 1e-2
+    edt_backend: str = "stencil"
+    fov_deg: float = 40.0
+
+
+def _full_meta(cfg: PipelineConfig) -> GridMeta:
+    n = cfg.grid_n
+    return GridMeta.create(
+        make_origin_transform([0.0, 0.0, 0.0]), cfg.resolution, (n, n, n)
+    )
+
+
+def _camera(cfg: PipelineConfig):
+    n = cfg.grid_n
+    center = jnp.full((3,), 0.5 * n * cfg.resolution)
+    cam = center + jnp.asarray([-1.5 * n * cfg.resolution, 0.0, 0.0])
+    return render.camera_rays(
+        cam, center, jnp.asarray([0.0, 0.0, 1.0]), cfg.fov_deg, cfg.image_h, cfg.image_w
+    )
+
+
+def _forward_local(points: Array, cfg: PipelineConfig, axis_name: str = "x"):
+    """Shard-local forward: returns this shard's rendered image rows.
+
+    points: [N, 3] (replicated across the x axis). Runs inside shard_map.
+    """
+    n = cfg.grid_n
+    n_dev = lax.axis_size(axis_name)
+    idx = lax.axis_index(axis_name)
+    nx_local = n // n_dev
+    res = cfg.resolution
+
+    # shard-local slab metadata: origin shifted along world x
+    x_off = (idx * nx_local).astype(jnp.float32) * res
+    slab_origin = make_origin_transform([0.0, 0.0, 0.0]).at[0, 3].add(x_off)
+    slab_meta = GridMeta.create(slab_origin, res, (nx_local, n, n))
+
+    occ_slab = voxelize.soft_voxelize_points(points, slab_meta, temperature=0.5)
+
+    sdf_fwd = diff.straight_through_sdf(
+        lambda occ: sharded.sharded_signed_field(
+            occ > 0.5, res, axis_name, backend=cfg.edt_backend
+        ),
+        res,
+    )
+    sdf_slab = sdf_fwd(occ_slab)
+
+    # gather the full SDF for rendering (rays cross all slabs)
+    full_values = lax.all_gather(sdf_slab, axis_name, axis=0, tiled=True)
+    sdf = SdfGrid.create(full_values, _full_meta(cfg), cfg.oob_value)
+
+    origins, dirs = _camera(cfg)
+    rows = cfg.image_h // n_dev
+    o_loc = lax.dynamic_slice_in_dim(origins, idx * rows, rows, axis=0)
+    d_loc = lax.dynamic_slice_in_dim(dirs, idx * rows, rows, axis=0)
+    result = render.render_depth(sdf, o_loc, d_loc, t_max=cfg.t_max)
+    return result.depth  # [rows, W]
+
+
+def make_train_step(mesh: Mesh, cfg: PipelineConfig):
+    """Build the jitted sharded train step.
+
+    step(points [B, N, 3], target_depth [B, H, W]) -> (new_points, loss)
+    where B is sharded over ``dp`` and the volume/image over ``x``.
+    """
+
+    def local_step(points_local: Array, target_local: Array):
+        # points_local: [B_local, N, 3]; target_local: [B_local, H, W]
+        n_dev = lax.axis_size("x")
+        idx = lax.axis_index("x")
+        rows = cfg.image_h // n_dev
+
+        def loss_fn(pts):
+            def scene_loss(p, tgt):
+                depth_rows = _forward_local(p, cfg, "x")
+                tgt_rows = lax.dynamic_slice_in_dim(tgt, idx * rows, rows, axis=0)
+                return jnp.sum((depth_rows - tgt_rows) ** 2)
+
+            per_scene = jax.vmap(scene_loss)(pts, target_local)
+            local = jnp.sum(per_scene)
+            return lax.psum(local, "x")
+
+        loss, grads = jax.value_and_grad(loss_fn)(points_local)
+        # points are replicated over x: reduce partial grads
+        grads = lax.psum(grads, "x")
+        new_points = points_local - cfg.lr * grads
+        # report the global mean loss (exercises the dp collective)
+        global_loss = lax.pmean(loss, "dp") / (cfg.image_h * cfg.image_w)
+        return new_points, global_loss
+
+    step = jax.shard_map(
+        local_step,
+        mesh=mesh,
+        in_specs=(P("dp"), P("dp")),
+        out_specs=(P("dp"), P()),
+        check_vma=False,
+    )
+    return jax.jit(step)
