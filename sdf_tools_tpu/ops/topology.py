@@ -1,0 +1,435 @@
+"""Topology ops: connected components, surfaces, holes/voids, watershed
+extrema, convex segmentation.
+
+TPU-native re-design of the reference's ``topology_computation.hpp`` and the
+related CollisionMap/SDF member functions. The reference uses serial BFS
+flood fill (``topology_computation.hpp:25-149``) and memoized serial gradient
+walks (``sdf.cpp:23-207``); both are reformulated as bounded iterative
+relaxations (SURVEY.md §7 step 7):
+
+  * Connected components: iterative min-label propagation over 6-neighbors.
+    Label numbering matches the reference's raster-scan discovery order
+    because each component's representative is its minimum flat index — the
+    first cell the reference's sweep would reach (labels are 1-based).
+  * Holes/voids: surface-vertex census with the Chen & Rong genus formula
+    #holes = 1 + (M5 + 2*M6 - M3)/8 (+ voids from vertex-graph
+    connectivity), see ``topology_computation.hpp:326-640``. We use the
+    geometrically-correct corner test: a vertex is a surface vertex of
+    component c iff its 8 surrounding voxels contain both c and non-c
+    (provably equivalent to the reference's exposed-corner rule; NOTE the
+    reference has a copy-paste bug where the z+1 neighbor is fetched at z-1,
+    ``topology_computation.hpp:385-390`` — we implement the correct
+    geometry).
+  * Local extrema map: the per-cell serial gradient walk becomes a dense
+    one-step successor map + pointer doubling (log N gathers). Cycle cells
+    resolve to the cycle member with the smallest flat index — the reference
+    resolves them to whichever member its (processing-order-dependent) walk
+    revisits first; our rule is the deterministic, order-free equivalent.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from ..grid import CollisionMap, GridMeta, SdfGrid, TaggedCollisionMap
+from . import query
+
+Array = jax.Array
+
+_BIG = jnp.int32(2**30)
+
+_DIRS6 = [
+    (0, 1),  # +x
+    (0, -1),
+    (1, 1),
+    (1, -1),
+    (2, 1),
+    (2, -1),
+]
+
+
+def _shift(a: Array, axis: int, sign: int, fill) -> Array:
+    """Neighbor value in direction (axis, sign): out[i] = a[i + sign]."""
+    n = a.shape[axis]
+    pad = [(0, 0)] * a.ndim
+    if sign > 0:
+        pad[axis] = (0, 1)
+        sl = tuple(
+            slice(1, n + 1) if ax == axis else slice(None) for ax in range(a.ndim)
+        )
+    else:
+        pad[axis] = (1, 0)
+        sl = tuple(slice(0, n) if ax == axis else slice(None) for ax in range(a.ndim))
+    return jnp.pad(a, pad, constant_values=fill)[sl]
+
+
+# ---------------------------------------------------------------------------
+# Connected components
+# ---------------------------------------------------------------------------
+
+
+def connected_components_from_adjacency(
+    eligible: Array, conn: List[Array]
+) -> Tuple[Array, Array]:
+    """Min-label propagation CC.
+
+    eligible: [nx,ny,nz] bool — cells that get a component (others -> 0).
+    conn: 6 bool arrays (order: +x,-x,+y,-y,+z,-z); conn[d][i] == True means
+    cell i is connected to its neighbor in direction d (must be symmetric).
+
+    Returns (labels uint32 [nx,ny,nz] 1-based, n_components int32). Matches
+    the reference's raster-scan label order (topology_computation.hpp:93-149).
+    """
+    shape = eligible.shape
+    N = int(np.prod(shape))
+    flat = jnp.arange(N, dtype=jnp.int32).reshape(shape)
+    label0 = jnp.where(eligible, flat, _BIG)
+
+    def cond(state):
+        label, done = state
+        return ~done
+
+    def body(state):
+        label, _ = state
+        new = label
+        for d, (axis, sign) in enumerate(_DIRS6):
+            cand = _shift(label, axis, sign, _BIG)
+            cand = jnp.where(conn[d], cand, _BIG)
+            new = jnp.minimum(new, cand)
+        done = jnp.all(new == label)
+        return new, done
+
+    done0 = jnp.all(label0 != label0)
+    label, _ = lax.while_loop(cond, body, (label0, done0))
+
+    # dense 1-based ranks in discovery (min-flat-index) order
+    is_rep = (label == flat) & eligible
+    ranks = jnp.cumsum(is_rep.reshape(-1).astype(jnp.int32)).reshape(shape)
+    safe_label = jnp.clip(label, 0, N - 1)
+    comp = jnp.where(eligible, ranks.reshape(-1)[safe_label.reshape(-1)].reshape(shape), 0)
+    n_components = jnp.sum(is_rep.astype(jnp.int32))
+    return comp.astype(jnp.uint32), n_components
+
+
+def _symmetric_conn(eligible: Array, same_class: List[Array]) -> List[Array]:
+    conn = []
+    for d, (axis, sign) in enumerate(_DIRS6):
+        nb_ok = _shift(eligible, axis, sign, False)
+        conn.append(eligible & nb_ok & same_class[d])
+    return conn
+
+
+def connected_components_by_key(eligible: Array, key: Array) -> Tuple[Array, Array]:
+    """CC where two 6-adjacent eligible cells connect iff key values match."""
+    same = []
+    for axis, sign in _DIRS6:
+        nb = _shift(key, axis, sign, -1)
+        same.append(nb == key)
+    conn = _symmetric_conn(eligible, same)
+    return connected_components_from_adjacency(eligible, conn)
+
+
+def update_connected_components(cmap: CollisionMap) -> CollisionMap:
+    """Reference ``CollisionMapGrid::UpdateConnectedComponents``
+    (collision_map.cpp:564-618): 6-connectivity, same binary occupancy
+    (occupancy > 0.5), every cell labeled."""
+    binary = (cmap.occupancy > 0.5).astype(jnp.int32)
+    eligible = jnp.ones_like(binary, bool)
+    comp, n = connected_components_by_key(eligible, binary)
+    import dataclasses
+
+    return dataclasses.replace(cmap, component=comp, components_valid=True), n
+
+
+# ---------------------------------------------------------------------------
+# Surface predicates (reference collision_map.hpp:45-119, 549-619)
+# ---------------------------------------------------------------------------
+
+
+def surface_mask_26(filled: Array) -> Array:
+    """IsSurfaceIndex: filled cell with >=1 of 26 neighbors not filled, or on
+    the grid border (collision_map.hpp:45-92)."""
+    f = jnp.asarray(filled, bool)
+    all_nb = jnp.ones_like(f)
+    for dx in (-1, 0, 1):
+        for dy in (-1, 0, 1):
+            for dz in (-1, 0, 1):
+                if dx == dy == dz == 0:
+                    continue
+                nb = f
+                for axis, s in ((0, dx), (1, dy), (2, dz)):
+                    if s != 0:
+                        nb = _shift(nb, axis, s, False)
+                all_nb = all_nb & nb
+    return f & ~all_nb
+
+
+def component_surface_mask(labels: Array) -> Array:
+    """IsConnectedComponentSurfaceIndex: cell with >=1 of 6 neighbors in a
+    different component, or on the grid border (collision_map.hpp:94-119;
+    the reference's z-edge off-by-one bug is fixed here)."""
+    lab = jnp.asarray(labels).astype(jnp.int32)
+    on_surface = jnp.zeros(lab.shape, bool)
+    for axis, sign in _DIRS6:
+        nb = _shift(lab, axis, sign, -1)
+        on_surface = on_surface | (nb != lab)
+    return on_surface
+
+
+def candidate_corner_mask(labels: Array) -> Array:
+    """CheckIfCandidateCorner: >=2 of the 6 neighbors differ in component
+    (collision_map.hpp:549-619)."""
+    lab = jnp.asarray(labels).astype(jnp.int32)
+    count = jnp.zeros(lab.shape, jnp.int32)
+    for axis, sign in _DIRS6:
+        nb = _shift(lab, axis, sign, -1)
+        count = count + (nb != lab).astype(jnp.int32)
+    return count >= 2
+
+
+# ---------------------------------------------------------------------------
+# Holes / voids (genus) census
+# ---------------------------------------------------------------------------
+
+
+def _vertex_cube_labels(labels: Array) -> Array:
+    """[nx+1, ny+1, nz+1, 8] labels of the 8 voxels around each vertex
+    (out-of-grid -> -1)."""
+    lab = jnp.asarray(labels, jnp.int32)
+    p = jnp.pad(lab, 1, constant_values=-1)  # [nx+2, ny+2, nz+2]
+    nx, ny, nz = lab.shape
+    cubes = []
+    for dx in (0, 1):
+        for dy in (0, 1):
+            for dz in (0, 1):
+                cubes.append(p[dx : dx + nx + 1, dy : dy + ny + 1, dz : dz + nz + 1])
+    return jnp.stack(cubes, axis=-1)
+
+
+def _edge_groups():
+    """For each of the 6 vertex edges, the 4 cube-slot indices around it.
+
+    Cube slot k = (dx,dy,dz) with k = dx*4 + dy*2 + dz; voxel at offset
+    (x-1+dx, y-1+dy, z-1+dz). Edge z- involves the 4 voxels with dz=0,
+    z+ those with dz=1, y-/y+ by dy, x-/x+ by dx — matching the reference's
+    4-voxel groups (topology_computation.hpp:502-608).
+    """
+    groups = []
+    for axis, val in ((2, 0), (2, 1), (1, 0), (1, 1), (0, 0), (0, 1)):
+        g = []
+        for k in range(8):
+            dx, dy, dz = (k >> 2) & 1, (k >> 1) & 1, k & 1
+            if (dx, dy, dz)[axis] == val:
+                g.append(k)
+        groups.append(g)
+    return groups
+
+
+_EDGE_GROUPS = _edge_groups()
+
+
+def vertex_edge_exposure(labels: Array, component) -> Tuple[Array, Array, Array]:
+    """Per-vertex edge exposure for one component.
+
+    Returns (edge_bits int32 [nx+1,ny+1,nz+1], is_surface_vertex bool,
+    exposed_edge_count int32).
+    An edge is exposed iff its 4 surrounding voxels are mixed (some == c,
+    some != c); a vertex is a surface vertex iff its 8-cube is mixed.
+    """
+    cubes = _vertex_cube_labels(labels)  # [..., 8]
+    c = jnp.asarray(component, jnp.int32)
+    is_c = cubes == c
+    mixed_cube = jnp.any(is_c, -1) & ~jnp.all(is_c, -1)
+    bits = jnp.zeros(cubes.shape[:-1], jnp.int32)
+    count = jnp.zeros(cubes.shape[:-1], jnp.int32)
+    for e, group in enumerate(_EDGE_GROUPS):
+        g = is_c[..., group]
+        mixed = jnp.any(g, -1) & ~jnp.all(g, -1)
+        bits = bits | (mixed.astype(jnp.int32) << e)
+        count = count + mixed.astype(jnp.int32)
+    return jnp.where(mixed_cube, bits, 0), mixed_cube, jnp.where(mixed_cube, count, 0)
+
+
+def component_holes_and_voids(labels: Array, component) -> Tuple[Array, Array]:
+    """(#holes, #voids) of one component: Chen & Rong formula + vertex-graph
+    connectivity (reference topology_computation.hpp:326-640)."""
+    bits, is_sv, count = vertex_edge_exposure(labels, component)
+    M3 = jnp.sum((count == 3).astype(jnp.int32))
+    M5 = jnp.sum((count == 5).astype(jnp.int32))
+    M6 = jnp.sum((count == 6).astype(jnp.int32))
+
+    # vertex-graph connected components: vertices connect along exposed edges
+    vshape = bits.shape
+    Nv = int(np.prod(vshape))
+    flat = jnp.arange(Nv, dtype=jnp.int32).reshape(vshape)
+    label0 = jnp.where(is_sv, flat, _BIG)
+    # edge e connects vertex v to neighbor in direction: order matches
+    # _EDGE_GROUPS: z-, z+, y-, y+, x-, x+
+    edge_dirs = [(2, -1), (2, 1), (1, -1), (1, 1), (0, -1), (0, 1)]
+
+    def cond(state):
+        label, done = state
+        return ~done
+
+    def body(state):
+        label, _ = state
+        new = label
+        for e, (axis, sign) in enumerate(edge_dirs):
+            has_edge = (bits >> e) & 1
+            cand = _shift(label, axis, sign, _BIG)
+            cand = jnp.where(has_edge == 1, cand, _BIG)
+            new = jnp.minimum(new, cand)
+        done = jnp.all(new == label)
+        return new, done
+
+    done0 = jnp.all(label0 != label0)
+    vlabel, _ = lax.while_loop(cond, body, (label0, done0))
+    n_surfaces = jnp.sum(((vlabel == flat) & is_sv).astype(jnp.int32))
+    n_voids = jnp.maximum(n_surfaces - 1, 0)
+    raw_holes = 1 + (M5 + 2 * M6 - M3) // 8
+    return raw_holes + n_voids, n_voids
+
+
+def compute_component_topology(labels: Array, n_components: int) -> np.ndarray:
+    """Host utility: [(holes, voids)] for components 1..n_components.
+
+    Mirrors ``CollisionMapGrid::ComputeComponentTopology``
+    (collision_map.cpp:620-671), which also loops components serially.
+    """
+    f = jax.jit(component_holes_and_voids)
+    out = []
+    for c in range(1, int(n_components) + 1):
+        h, v = f(labels, jnp.int32(c))
+        out.append((int(h), int(v)))
+    return np.asarray(out, np.int32)
+
+
+# ---------------------------------------------------------------------------
+# Local extrema (watershed) map via pointer doubling
+# ---------------------------------------------------------------------------
+
+
+def local_extrema_map(sdf: SdfGrid) -> Array:
+    """Dense [nx,ny,nz,3] map of the local extremum each cell's gradient walk
+    reaches (reference ``ComputeLocalExtremaMap``, sdf.cpp:186-207).
+
+    Semantics mirrored from sdf.cpp:23-183: world-frame gradient with edge
+    gradients; step = sign(component) where |g| > res*0.06125 per axis (sign
+    flipped inside obstacles); flat gradient => terminal at the cell's
+    grid-frame center; stepping off-grid => (+inf,+inf,+inf). Cycles resolve
+    to the minimum-flat-index cycle member (see module docstring).
+    """
+    shape = sdf.shape
+    nx, ny, nz = shape
+    N = nx * ny * nz
+    res = sdf.resolution
+
+    ix = jnp.arange(nx, dtype=jnp.int32)[:, None, None]
+    iy = jnp.arange(ny, dtype=jnp.int32)[None, :, None]
+    iz = jnp.arange(nz, dtype=jnp.int32)[None, None, :]
+    idx = jnp.stack(jnp.broadcast_arrays(ix, iy, iz), axis=-1)  # [...,3]
+
+    grad, _ = query.gradient(sdf, idx, enable_edge_gradients=True)
+    thresh = res * 0.06125
+    flat_grad = jnp.all(jnp.abs(grad) <= thresh, axis=-1)
+    wg = jnp.where((sdf.values < 0.0)[..., None], -grad, grad)
+    step = jnp.where(wg > thresh, 1, jnp.where(wg < -thresh, -1, 0)).astype(jnp.int32)
+    nxt = idx + step
+    off = ~sdf.meta.index_in_bounds(nxt)
+
+    # terminal classification
+    # 0 = walk, 1 = flat terminal, 2 = off-grid terminal
+    terminal = jnp.where(flat_grad, 1, jnp.where(off, 2, 0)).astype(jnp.int32)
+    nxt_flat = (nxt[..., 0] * ny + nxt[..., 1]) * nz + nxt[..., 2]
+    self_flat = (idx[..., 0] * ny + idx[..., 1]) * nz + idx[..., 2]
+    ptr = jnp.where(terminal != 0, self_flat, nxt_flat).reshape(-1)
+    term = terminal.reshape(-1)
+
+    # pointer doubling: carry (ptr, term-of-root-so-far)
+    n_steps = int(np.ceil(np.log2(max(N, 2)))) + 1
+    for _ in range(n_steps):
+        t_at_ptr = term[ptr]
+        new_ptr = jnp.where(t_at_ptr != 0, ptr, ptr[ptr])
+        ptr = new_ptr
+
+    # cells whose root is a terminal adopt its extremum; others are cyclic
+    root_term = term[ptr]
+    cyclic = root_term == 0
+
+    # canonicalize cycles: min flat index over the cycle via min-doubling
+    mptr = ptr
+    mval = jnp.where(cyclic, ptr, _BIG)
+    p2 = ptr
+    for _ in range(n_steps):
+        mval = jnp.minimum(mval, mval[p2])
+        p2 = p2[p2]
+    cycle_root = mval  # min flat index over reachable set (cycle)
+    root = jnp.where(cyclic, cycle_root, ptr)
+
+    # extremum value per root
+    centers = sdf.meta.index_to_location_grid_frame(idx).reshape(-1, 3)
+    root_is_off = term[root] == 2
+    ext = jnp.where(root_is_off[:, None], jnp.inf, centers[root])
+    return ext.reshape(shape + (3,))
+
+
+# ---------------------------------------------------------------------------
+# Convex segmentation (reference UpdateConvexSegments,
+# tagged_object_collision_map.cpp:552-654)
+# ---------------------------------------------------------------------------
+
+
+def convex_segments(
+    tmap: TaggedCollisionMap,
+    sdf: SdfGrid,
+    connected_threshold,
+) -> Tuple[Array, Array]:
+    """Label convex segments. Returns (segment labels uint32, count).
+
+    Connectivity: 6-adjacent cells with the same object_id whose watershed
+    extrema are within ``connected_threshold`` (Euclidean). Eligible cells:
+    free (occupancy < 0.5) or object cells (object_id > 0), with finite
+    extrema. The SDF should be the virtual-border or free+named variant the
+    reference uses (caller's choice; see tagged_object_collision_map.cpp:556).
+    """
+    extrema = local_extrema_map(sdf)
+    finite = jnp.all(jnp.isfinite(extrema), axis=-1)
+    eligible = ((tmap.occupancy < 0.5) | (tmap.object_id > 0)) & finite
+
+    same = []
+    for axis, sign in _DIRS6:
+        nb_obj = _shift(tmap.object_id, axis, sign, jnp.uint32(2**31))
+        nb_ext = _shift(extrema, axis, sign, jnp.inf)
+        dist = jnp.linalg.norm(nb_ext - extrema, axis=-1)
+        same.append((nb_obj == tmap.object_id) & (dist < connected_threshold))
+    conn = _symmetric_conn(eligible, same)
+    return connected_components_from_adjacency(eligible, conn)
+
+
+# ---------------------------------------------------------------------------
+# Misc: resample (collision_map.cpp:673-695)
+# ---------------------------------------------------------------------------
+
+
+def resample_nearest(values: Array, meta: GridMeta, new_resolution) -> Tuple[Array, GridMeta]:
+    """Resample a grid to a new resolution by nearest-location copy."""
+    new_shape = tuple(
+        max(1, int(np.ceil(s * float(meta.resolution) / float(new_resolution) - 1e-9)))
+        for s in meta.shape
+    )
+    new_meta = GridMeta.create(
+        meta.origin_transform, new_resolution, new_shape, meta.frame
+    )
+    ix = jnp.arange(new_shape[0])[:, None, None]
+    iy = jnp.arange(new_shape[1])[None, :, None]
+    iz = jnp.arange(new_shape[2])[None, None, :]
+    idx = jnp.stack(jnp.broadcast_arrays(ix, iy, iz), axis=-1)
+    loc = new_meta.index_to_location(idx)
+    old_idx = meta.location_to_index(loc)
+    old_idx = jnp.clip(old_idx, 0, jnp.asarray(meta.shape) - 1)
+    return values[old_idx[..., 0], old_idx[..., 1], old_idx[..., 2]], new_meta
