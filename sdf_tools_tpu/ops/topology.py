@@ -419,7 +419,7 @@ def convex_segments(
 def resample_nearest(values: Array, meta: GridMeta, new_resolution) -> Tuple[Array, GridMeta]:
     """Resample a grid to a new resolution by nearest-location copy."""
     new_shape = tuple(
-        max(1, int(np.ceil(s * float(meta.resolution) / float(new_resolution) - 1e-9)))
+        max(1, int(np.ceil(s * float(meta.resolution) / float(new_resolution) - 1e-4)))
         for s in meta.shape
     )
     new_meta = GridMeta.create(
