@@ -1,0 +1,347 @@
+"""Binary serialization compatible with the reference's on-disk formats.
+
+Implements the reference's field-by-field layouts:
+  * SignedDistanceField  (``/root/reference/src/sdf_tools/sdf.cpp:213-258``),
+    file magic ``SDFZ`` (zlib body) / ``SDFR`` (raw) (``sdf.cpp:392-470``).
+  * CollisionMapGrid     (``collision_map.cpp:21-120``), magic ``CMGZ/CMGR``.
+  * TaggedObjectCollisionMapGrid (``tagged_object_collision_map.cpp:23-130``),
+    magic ``TCMZ/TCMR``.
+  * "Message" blobs: zlib-compressed SerializeSelf payload, matching the ROS
+    msg convention (``header + uint8[] serialized + bool is_compressed``,
+    ``sdf.cpp:472-502``) minus the ROS header.
+
+arc_utilities primitive conventions (little-endian):
+  * SerializeFixedSizePOD<T>: raw memcpy of T.
+  * SerializeVector<T>: uint64 element count, then each element.
+  * SerializeString: uint64 length, then raw bytes (no NUL).
+  * SerializeEigen<Isometry3d>: the 4x4 matrix as 16 float64 in Eigen's
+    default (column-major) storage order.
+  * COLLISION_CELL: float occupancy, uint32 component (8 bytes).
+  * TAGGED_OBJECT_COLLISION_CELL: float occupancy, uint32 object_id,
+    uint32 component, uint32 convex_segment (16 bytes) — field order per
+    ``tagged_object_collision_map.hpp:22-43``.
+
+Grid data is x-major / z-fastest (``utils_3d.py:71-75``), which is exactly
+the C-order raveling of our ``[nx, ny, nz]`` arrays.
+"""
+from __future__ import annotations
+
+import struct
+import zlib
+from typing import Tuple
+
+import numpy as np
+
+from .grid import CollisionMap, GridMeta, SdfGrid, TaggedCollisionMap
+
+_TAGGED_CELL_DT = np.dtype(
+    [
+        ("occupancy", "<f4"),
+        ("object_id", "<u4"),
+        ("component", "<u4"),
+        ("convex_segment", "<u4"),
+    ]
+)
+_COLLISION_CELL_DT = np.dtype([("occupancy", "<f4"), ("component", "<u4")])
+
+
+class _Writer:
+    def __init__(self):
+        self.parts = []
+
+    def pod(self, fmt: str, *vals):
+        self.parts.append(struct.pack("<" + fmt, *vals))
+
+    def raw(self, b: bytes):
+        self.parts.append(b)
+
+    def eigen_isometry(self, m: np.ndarray):
+        self.raw(np.asarray(m, "<f8").T.tobytes())  # column-major
+
+    def string(self, s: str):
+        b = s.encode()
+        self.pod("Q", len(b))
+        self.raw(b)
+
+    def bytes(self) -> bytes:
+        return b"".join(self.parts)
+
+
+class _Reader:
+    def __init__(self, buf: bytes):
+        self.buf = buf
+        self.pos = 0
+
+    def pod(self, fmt: str):
+        sz = struct.calcsize("<" + fmt)
+        out = struct.unpack_from("<" + fmt, self.buf, self.pos)
+        self.pos += sz
+        return out if len(out) > 1 else out[0]
+
+    def raw(self, n: int) -> bytes:
+        b = self.buf[self.pos : self.pos + n]
+        self.pos += n
+        return b
+
+    def eigen_isometry(self) -> np.ndarray:
+        return np.frombuffer(self.raw(128), "<f8").reshape(4, 4).T.copy()
+
+    def string(self) -> str:
+        n = self.pod("Q")
+        return self.raw(n).decode()
+
+
+def _write_common_header(w: _Writer, meta: GridMeta):
+    res = float(meta.resolution)
+    nx, ny, nz = meta.shape
+    w.pod("B", 1)  # initialized_
+    origin = np.asarray(meta.origin_transform, np.float64)
+    w.eigen_isometry(origin)
+    w.eigen_isometry(np.asarray(meta.inv_origin_transform, np.float64))
+    # (data vector is written by the caller between header halves)
+    return res, (nx, ny, nz)
+
+
+def _write_common_footer(w: _Writer, meta: GridMeta):
+    res = float(meta.resolution)
+    nx, ny, nz = meta.shape
+    w.pod("ddd", res, res, res)  # cell sizes
+    w.pod("ddd", 1.0 / res, 1.0 / res, 1.0 / res)  # inverse cell sizes
+    w.pod("ddd", nx * res, ny * res, nz * res)  # grid sizes (meters)
+    w.pod("qq", ny * nz, nz)  # stride1, stride2
+    w.pod("qqq", nx, ny, nz)
+
+
+def _read_common_footer(r: _Reader):
+    cell_sizes = r.pod("ddd")
+    _inv = r.pod("ddd")
+    _sizes = r.pod("ddd")
+    _strides = r.pod("qq")
+    nx, ny, nz = r.pod("qqq")
+    return cell_sizes[0], (int(nx), int(ny), int(nz))
+
+
+# ---------------------------------------------------------------------------
+# SignedDistanceField
+# ---------------------------------------------------------------------------
+
+
+def serialize_sdf(sdf: SdfGrid, locked: bool = False) -> bytes:
+    w = _Writer()
+    _write_common_header(w, sdf.meta)
+    data = np.asarray(sdf.values, "<f4").reshape(-1)  # x-major/z-fastest
+    w.pod("Q", data.size)
+    w.raw(data.tobytes())
+    _write_common_footer(w, sdf.meta)
+    w.pod("f", 0.0)  # default_value (reference stores ctor default == oob)
+    w.pod("f", float(sdf.oob_value))
+    w.string(sdf.meta.frame)
+    w.pod("B", int(locked))
+    return w.bytes()
+
+
+def deserialize_sdf(buf: bytes) -> Tuple[SdfGrid, bool]:
+    r = _Reader(buf)
+    _init = r.pod("B")
+    origin = r.eigen_isometry()
+    _inv_origin = r.eigen_isometry()
+    count = r.pod("Q")
+    data = np.frombuffer(r.raw(count * 4), "<f4")
+    res, shape = _read_common_footer(r)
+    _default = r.pod("f")
+    oob = r.pod("f")
+    frame = r.string()
+    locked = bool(r.pod("B"))
+    meta = GridMeta.create(origin, res, shape, frame)
+    values = data.reshape(shape)
+    return SdfGrid.create(values, meta, oob), locked
+
+
+def save_sdf(sdf: SdfGrid, filepath: str, compress: bool = True):
+    body = serialize_sdf(sdf)
+    with open(filepath, "wb") as f:
+        if compress:
+            f.write(b"SDFZ")
+            f.write(zlib.compress(body))
+        else:
+            f.write(b"SDFR")
+            f.write(body)
+
+
+def load_sdf(filepath: str) -> SdfGrid:
+    with open(filepath, "rb") as f:
+        magic = f.read(4)
+        body = f.read()
+    if magic == b"SDFZ":
+        body = zlib.decompress(body)
+    elif magic != b"SDFR":
+        raise ValueError(f"invalid SDF file header {magic!r}")
+    return deserialize_sdf(body)[0]
+
+
+def sdf_message_blob(sdf: SdfGrid) -> bytes:
+    """Always-compressed message payload (sdf.cpp:472-483)."""
+    return zlib.compress(serialize_sdf(sdf))
+
+
+def sdf_from_message_blob(blob: bytes, is_compressed: bool = True) -> SdfGrid:
+    body = zlib.decompress(blob) if is_compressed else blob
+    return deserialize_sdf(body)[0]
+
+
+# ---------------------------------------------------------------------------
+# CollisionMapGrid
+# ---------------------------------------------------------------------------
+
+
+def serialize_collision_map(cmap: CollisionMap, n_components: int = 0) -> bytes:
+    w = _Writer()
+    _write_common_header(w, cmap.meta)
+    n = int(np.prod(cmap.shape))
+    cells = np.zeros(n, _COLLISION_CELL_DT)
+    cells["occupancy"] = np.asarray(cmap.occupancy, np.float32).reshape(-1)
+    cells["component"] = np.asarray(cmap.component, np.uint32).reshape(-1)
+    w.pod("Q", n)
+    w.raw(cells.tobytes())
+    _write_common_footer(w, cmap.meta)
+    oob = np.zeros(1, _COLLISION_CELL_DT)
+    oob["occupancy"] = float(cmap.oob_occupancy)
+    w.raw(oob.tobytes())  # default_value
+    w.raw(oob.tobytes())  # oob_value
+    w.pod("I", int(n_components))
+    w.string(cmap.meta.frame)
+    w.pod("B", int(cmap.components_valid))
+    return w.bytes()
+
+
+def deserialize_collision_map(buf: bytes) -> CollisionMap:
+    r = _Reader(buf)
+    _init = r.pod("B")
+    origin = r.eigen_isometry()
+    _ = r.eigen_isometry()
+    count = r.pod("Q")
+    cells = np.frombuffer(r.raw(count * 8), _COLLISION_CELL_DT)
+    res, shape = _read_common_footer(r)
+    _default = np.frombuffer(r.raw(8), _COLLISION_CELL_DT)
+    oob = np.frombuffer(r.raw(8), _COLLISION_CELL_DT)
+    _n_components = r.pod("I")
+    frame = r.string()
+    components_valid = bool(r.pod("B"))
+    meta = GridMeta.create(origin, res, shape, frame)
+    cm = CollisionMap.create(
+        cells["occupancy"].reshape(shape),
+        meta,
+        oob_occupancy=float(oob["occupancy"][0]),
+        component=cells["component"].reshape(shape),
+    )
+    import dataclasses
+
+    return dataclasses.replace(cm, components_valid=components_valid)
+
+
+def save_collision_map(cmap: CollisionMap, filepath: str, compress: bool = True, n_components: int = 0):
+    body = serialize_collision_map(cmap, n_components)
+    with open(filepath, "wb") as f:
+        if compress:
+            f.write(b"CMGZ")
+            f.write(zlib.compress(body))
+        else:
+            f.write(b"CMGR")
+            f.write(body)
+
+
+def load_collision_map(filepath: str) -> CollisionMap:
+    with open(filepath, "rb") as f:
+        magic = f.read(4)
+        body = f.read()
+    if magic == b"CMGZ":
+        body = zlib.decompress(body)
+    elif magic != b"CMGR":
+        raise ValueError(f"invalid CollisionMap file header {magic!r}")
+    return deserialize_collision_map(body)
+
+
+# ---------------------------------------------------------------------------
+# TaggedObjectCollisionMapGrid
+# ---------------------------------------------------------------------------
+
+
+def serialize_tagged_map(
+    tmap: TaggedCollisionMap, n_components: int = 0, n_convex_segments: int = 0
+) -> bytes:
+    w = _Writer()
+    _write_common_header(w, tmap.meta)
+    n = int(np.prod(tmap.shape))
+    cells = np.zeros(n, _TAGGED_CELL_DT)
+    cells["occupancy"] = np.asarray(tmap.occupancy, np.float32).reshape(-1)
+    cells["object_id"] = np.asarray(tmap.object_id, np.uint32).reshape(-1)
+    cells["component"] = np.asarray(tmap.component, np.uint32).reshape(-1)
+    cells["convex_segment"] = np.asarray(tmap.convex_segment, np.uint32).reshape(-1)
+    w.pod("Q", n)
+    w.raw(cells.tobytes())
+    _write_common_footer(w, tmap.meta)
+    oob = np.zeros(1, _TAGGED_CELL_DT)
+    oob["occupancy"] = float(tmap.oob_occupancy)
+    w.raw(oob.tobytes())
+    w.raw(oob.tobytes())
+    w.pod("I", int(n_components))
+    w.pod("I", int(n_convex_segments))
+    w.string(tmap.meta.frame)
+    w.pod("B", int(tmap.components_valid))
+    w.pod("B", int(tmap.convex_segments_valid))
+    return w.bytes()
+
+
+def deserialize_tagged_map(buf: bytes) -> TaggedCollisionMap:
+    r = _Reader(buf)
+    _init = r.pod("B")
+    origin = r.eigen_isometry()
+    _ = r.eigen_isometry()
+    count = r.pod("Q")
+    cells = np.frombuffer(r.raw(count * 16), _TAGGED_CELL_DT)
+    res, shape = _read_common_footer(r)
+    _default = np.frombuffer(r.raw(16), _TAGGED_CELL_DT)
+    oob = np.frombuffer(r.raw(16), _TAGGED_CELL_DT)
+    _nc = r.pod("I")
+    _ns = r.pod("I")
+    frame = r.string()
+    comps_valid = bool(r.pod("B"))
+    segs_valid = bool(r.pod("B"))
+    meta = GridMeta.create(origin, res, shape, frame)
+    tm = TaggedCollisionMap.create(
+        cells["occupancy"].reshape(shape),
+        cells["object_id"].reshape(shape),
+        meta,
+        oob_occupancy=float(oob["occupancy"][0]),
+    )
+    import dataclasses
+
+    return dataclasses.replace(
+        tm,
+        component=np.ascontiguousarray(cells["component"].reshape(shape)),
+        convex_segment=np.ascontiguousarray(cells["convex_segment"].reshape(shape)),
+        components_valid=comps_valid,
+        convex_segments_valid=segs_valid,
+    )
+
+
+def save_tagged_map(tmap: TaggedCollisionMap, filepath: str, compress: bool = True):
+    body = serialize_tagged_map(tmap)
+    with open(filepath, "wb") as f:
+        if compress:
+            f.write(b"TCMZ")
+            f.write(zlib.compress(body))
+        else:
+            f.write(b"TCMR")
+            f.write(body)
+
+
+def load_tagged_map(filepath: str) -> TaggedCollisionMap:
+    with open(filepath, "rb") as f:
+        magic = f.read(4)
+        body = f.read()
+    if magic == b"TCMZ":
+        body = zlib.decompress(body)
+    elif magic != b"TCMR":
+        raise ValueError(f"invalid TaggedCollisionMap file header {magic!r}")
+    return deserialize_tagged_map(body)
