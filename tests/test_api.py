@@ -210,3 +210,46 @@ class TestSerialization:
                 np.asarray(getattr(tmap, field)), np.asarray(getattr(tm2, field))
             )
         assert tm2.convex_segments_valid
+
+
+class TestNative:
+    def test_native_exact_edt_matches_oracle(self):
+        from sdf_tools_tpu import native
+        from sdf_tools_tpu.oracle import reference_edt as oracle
+
+        if not native.available():
+            pytest.skip("native toolchain unavailable")
+        rng = np.random.default_rng(0)
+        for shape, p in [((12, 10, 8), 0.1), ((6, 20, 6), 0.4), ((16, 4, 4), 0.02)]:
+            mask = rng.random(shape) < p
+            if not mask.any():
+                mask[0, 0, 0] = True
+            got = native.edt_exact(mask)
+            want = oracle.brute_force_d2(shape, mask)
+            np.testing.assert_array_equal(got, want)
+
+    def test_native_reference_edt_matches_python_oracle(self):
+        from sdf_tools_tpu import native
+        from sdf_tools_tpu.oracle import reference_edt as oracle
+
+        if not native.available():
+            pytest.skip("native toolchain unavailable")
+        rng = np.random.default_rng(42)
+        mask = rng.random((8, 8, 8)) < 0.1
+        mask[0, 0, 0] = True
+        got = native.edt_reference(mask)
+        want = oracle.build_distance_field(mask.shape, mask)
+        # both encode INF as huge; normalize
+        got = np.where(got > 10**12, -1, got)
+        want = np.where(want > 10**12, -1, want)
+        np.testing.assert_array_equal(got, want)
+
+    def test_native_zlib_roundtrip(self):
+        from sdf_tools_tpu import native
+
+        if not native.available():
+            pytest.skip("native toolchain unavailable")
+        data = np.random.default_rng(0).integers(0, 10, 100000).astype(np.uint8).tobytes()
+        comp = native.compress(data)
+        out = native.decompress(comp, len(data))
+        assert out == data
