@@ -1,0 +1,173 @@
+"""Scene builder: geometric primitives -> occupancy -> SDF, with caching.
+
+TPU-native analogue of ``SDF_Builder`` (``/root/reference/include/sdf_tools/
+sdf_builder.hpp:23-80`` + ``sdf_builder.cpp``): the reference voxelizes a
+MoveIt PlanningScene by moving a synthetic 3-DoF "sdf_compute_bot" to every
+voxel center and collision-checking (``sdf_builder.cpp:329-363``) — one
+full collision query per voxel, serially. Here the scene is a list of
+analytic primitives (boxes / spheres / cylinders, posed arbitrarily) plus an
+optional occupancy volume ("octomap"); the filled test evaluates every cell
+center against every primitive in one vectorized pass on device.
+
+Update modes mirror ``sdf_builder.hpp:18-21``:
+  USE_CACHED, USE_ONLY_OCTOMAP, USE_ONLY_COLLISION_OBJECTS,
+  USE_FULL_PLANNING_SCENE.
+"""
+from __future__ import annotations
+
+import dataclasses
+import enum
+from typing import List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .grid import CollisionMap, GridMeta, SdfGrid, make_origin_transform
+from .ops import edt
+
+Array = jax.Array
+
+
+class UpdateMode(enum.Enum):
+    USE_CACHED = 0
+    USE_ONLY_OCTOMAP = 1
+    USE_ONLY_COLLISION_OBJECTS = 2
+    USE_FULL_PLANNING_SCENE = 3
+
+
+@dataclasses.dataclass(frozen=True)
+class Primitive:
+    """A posed solid: kind in {"box", "sphere", "cylinder"}.
+
+    pose: 4x4 world-from-primitive transform; size semantics:
+      box: size = full extents [sx, sy, sz]
+      sphere: size[0] = radius
+      cylinder: size[0] = radius, size[2] = full height (z axis)
+    """
+
+    kind: str
+    pose: np.ndarray
+    size: np.ndarray
+
+    @staticmethod
+    def box(center, extents, rotation=None) -> "Primitive":
+        return Primitive("box", np.asarray(make_origin_transform(center, rotation)), np.asarray(extents, float))
+
+    @staticmethod
+    def sphere(center, radius) -> "Primitive":
+        return Primitive("sphere", np.asarray(make_origin_transform(center)), np.asarray([radius, 0, 0], float))
+
+    @staticmethod
+    def cylinder(center, radius, height, rotation=None) -> "Primitive":
+        return Primitive(
+            "cylinder",
+            np.asarray(make_origin_transform(center, rotation)),
+            np.asarray([radius, 0, height], float),
+        )
+
+
+def _primitive_contains(prim: Primitive, points: Array) -> Array:
+    """Boolean containment of world points [..., 3] in the primitive."""
+    inv = jnp.asarray(np.linalg.inv(prim.pose), jnp.float32)
+    p = jnp.asarray(points)
+    local = p @ inv[:3, :3].T + inv[:3, 3]
+    if prim.kind == "box":
+        half = jnp.asarray(prim.size, jnp.float32) / 2.0
+        return jnp.all(jnp.abs(local) <= half, axis=-1)
+    if prim.kind == "sphere":
+        return jnp.sum(local**2, axis=-1) <= float(prim.size[0]) ** 2
+    if prim.kind == "cylinder":
+        r, h = float(prim.size[0]), float(prim.size[2])
+        radial = local[..., 0] ** 2 + local[..., 1] ** 2 <= r * r
+        axial = jnp.abs(local[..., 2]) <= h / 2.0
+        return radial & axial
+    raise ValueError(prim.kind)
+
+
+def primitives_to_occupancy(primitives: Sequence[Primitive], meta: GridMeta) -> Array:
+    """Vectorized 'collision check at every voxel center' (replaces the
+    reference's per-voxel MoveIt checkCollision loop)."""
+    nx, ny, nz = meta.shape
+    ix = jnp.arange(nx)[:, None, None]
+    iy = jnp.arange(ny)[None, :, None]
+    iz = jnp.arange(nz)[None, None, :]
+    idx = jnp.stack(jnp.broadcast_arrays(ix, iy, iz), axis=-1)
+    centers = meta.index_to_location(idx)
+    occ = jnp.zeros(meta.shape, bool)
+    for prim in primitives:
+        occ = occ | _primitive_contains(prim, centers)
+    return occ.astype(jnp.float32)
+
+
+class SdfBuilder:
+    """Caching SDF builder over a mutable scene (primitives + octomap)."""
+
+    def __init__(self, meta: GridMeta, oob_value: float = np.inf, backend: str = "stencil"):
+        self.meta = meta
+        self.oob_value = oob_value
+        self.backend = backend
+        self.primitives: List[Primitive] = []
+        self.octomap_occupancy: Optional[Array] = None  # [nx,ny,nz] f32
+        self._cached_sdf: Optional[SdfGrid] = None
+        self._cached_collision_map: Optional[CollisionMap] = None
+
+    # -- scene mutation (invalidates caches) ---------------------------------
+
+    def add_primitive(self, prim: Primitive):
+        self.primitives.append(prim)
+        self._invalidate()
+
+    def set_octomap(self, occupancy):
+        self.octomap_occupancy = jnp.asarray(occupancy, jnp.float32)
+        self._invalidate()
+
+    def clear(self):
+        self.primitives = []
+        self.octomap_occupancy = None
+        self._invalidate()
+
+    def _invalidate(self):
+        self._cached_sdf = None
+        self._cached_collision_map = None
+
+    # -- builds (sdf_builder.cpp:119-185 update-mode semantics) --------------
+
+    def _occupancy(self, mode: UpdateMode) -> Array:
+        occ = jnp.zeros(self.meta.shape, jnp.float32)
+        if mode in (UpdateMode.USE_ONLY_OCTOMAP, UpdateMode.USE_FULL_PLANNING_SCENE):
+            if self.octomap_occupancy is not None:
+                occ = jnp.maximum(occ, self.octomap_occupancy)
+        if mode in (
+            UpdateMode.USE_ONLY_COLLISION_OBJECTS,
+            UpdateMode.USE_FULL_PLANNING_SCENE,
+        ):
+            occ = jnp.maximum(occ, primitives_to_occupancy(self.primitives, self.meta))
+        return occ
+
+    def update_collision_map(
+        self, mode: UpdateMode = UpdateMode.USE_FULL_PLANNING_SCENE
+    ) -> CollisionMap:
+        if mode == UpdateMode.USE_CACHED and self._cached_collision_map is not None:
+            return self._cached_collision_map
+        real_mode = (
+            UpdateMode.USE_FULL_PLANNING_SCENE if mode == UpdateMode.USE_CACHED else mode
+        )
+        occ = self._occupancy(real_mode)
+        self._cached_collision_map = CollisionMap.create(occ, self.meta)
+        return self._cached_collision_map
+
+    def update_sdf(
+        self, mode: UpdateMode = UpdateMode.USE_FULL_PLANNING_SCENE
+    ) -> SdfGrid:
+        if mode == UpdateMode.USE_CACHED and self._cached_sdf is not None:
+            return self._cached_sdf
+        real_mode = (
+            UpdateMode.USE_FULL_PLANNING_SCENE if mode == UpdateMode.USE_CACHED else mode
+        )
+        occ = self._occupancy(real_mode)
+        sdf, _ = edt.extract_signed_distance_field(
+            occ > 0.5, self.meta, self.oob_value, backend=self.backend
+        )
+        self._cached_sdf = sdf
+        return sdf
