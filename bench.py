@@ -64,11 +64,50 @@ def bench_cpu_baseline(mask: np.ndarray) -> float:
     return time.perf_counter() - t0
 
 
+def bench_render(mask: np.ndarray, repeats: int = 3):
+    """Sphere-trace rays/s over the 512^3 SDF (BASELINE config #4)."""
+    import jax
+    import jax.numpy as jnp
+
+    from sdf_tools_tpu.grid import GridMeta, make_origin_transform
+    from sdf_tools_tpu.ops import edt, render
+
+    n = mask.shape[0]
+    res = 0.05
+    backend = "pallas" if jax.default_backend() in ("tpu", "axon") else "stencil"
+    meta = GridMeta.create(make_origin_transform([0.0, 0.0, 0.0]), res, mask.shape)
+    sdf, _ = edt.extract_signed_distance_field(
+        jnp.asarray(mask), meta, oob_value=1e3, backend=backend
+    )
+    center = np.full(3, 0.5 * n * res)
+    cam = center + np.array([-1.2 * n * res, 0.0, 0.4 * n * res])
+    h = w = 1024
+    origins, dirs = render.camera_rays(
+        jnp.asarray(cam, jnp.float32), jnp.asarray(center, jnp.float32),
+        jnp.asarray([0.0, 0.0, 1.0]), 50.0, h, w,
+    )
+    f = jax.jit(
+        lambda s: render.render_depth(s, origins, dirs, t_max=4.0 * n * res).depth
+    )
+    out = f(sdf)
+    out.block_until_ready()
+    times = []
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        out = f(sdf)
+        out.block_until_ready()
+        times.append(time.perf_counter() - t0)
+    t = float(np.median(times))
+    return h * w / t, t, float(np.asarray(jnp.mean(out)))
+
+
 def main():
     n = 512
     mask = make_scene(n)
     t_tpu = bench_tpu(mask)
     vox_per_s = n**3 / t_tpu
+
+    rays_per_s, t_render, _ = bench_render(mask)
 
     # CPU baseline at 256^3 extrapolated to 512^3 (8x voxels, same per-voxel
     # cost for this algorithm class) to keep bench wall time bounded.
@@ -76,13 +115,22 @@ def main():
     t_cpu_small = bench_cpu_baseline(make_scene(nb))
     t_cpu = t_cpu_small * (n**3 / nb**3)
 
+    # Roofline accounting (see docs/ARCHITECTURE.md): the envelope kernels
+    # are VPU-compute-bound at ~7 ops/voxel/iteration; iteration count is
+    # data-adaptive (max per-tile source distance). HBM-traffic floor =
+    # (2 fields) x (3 passes) x (read+write 4B/voxel).
+    hbm_floor_s = 2 * 3 * 2 * 4 * n**3 / 800e9
+
     result = {
         "metric": "edt_512_voxels_per_s",
         "value": round(vox_per_s, 1),
         "unit": "voxel/s",
         "vs_baseline": round(t_cpu / t_tpu, 2),
         "tpu_seconds": round(t_tpu, 4),
+        "render_rays_per_s": round(rays_per_s, 1),
+        "render_seconds_1Mray": round(t_render, 4),
         "cpu_baseline_seconds_extrapolated": round(t_cpu, 2),
+        "hbm_roofline_seconds": round(hbm_floor_s, 4),
         "scene": f"{n}^3 random spheres, fill={mask.mean():.3f}",
     }
     print(json.dumps(result))

@@ -252,6 +252,13 @@ def _envelope_pass_pallas(f: Array, axis: int) -> Array:
     return edt_pallas.envelope_pass_pallas(f, axis, interpret=interpret)
 
 
+def _line_d2_pallas(mask: Array) -> Array:
+    from . import edt_pallas
+
+    interpret = jax.default_backend() not in ("tpu", "axon")
+    return edt_pallas.line_pass_pallas(mask, interpret=interpret)
+
+
 _ENVELOPE_BACKENDS = {
     "stencil": envelope_pass_stencil,
     "brute": envelope_pass_brute,
@@ -278,7 +285,10 @@ def squared_edt(seed_mask: Array, backend: str = "stencil") -> Array:
         raise ValueError(f"expected 3D mask, got shape {mask.shape}")
     # pass 1 along the axis with the largest extent is not required for
     # correctness; axis 0 keeps things simple.
-    f = _line_d2(mask, 0)
+    if backend == "pallas":
+        f = _line_d2_pallas(mask)
+    else:
+        f = _line_d2(mask, 0)
     f = env(f, 1)
     f = env(f, 2)
     return f

@@ -34,26 +34,29 @@ INF_D2 = 1 << 29  # python int: kernels must not capture traced constants
 
 # Iterations per quiescence check: checking costs a full-tile reduce, so
 # batch a few relaxation steps between checks.
-_CHECK_EVERY = 4
+_CHECK_EVERY = 8
 
 # Per-block byte budget (input block; ~6-8 live copies fit in 16MB VMEM).
 _BLOCK_BYTES = 1 * 1024 * 1024
 
 
-def _roll_shift(d, axis: int, shift: int, n: int):
+def _edge_masks(shape, axis: int, n: int):
+    """Boundary masks for +1/-1 shifts along `axis` (hoisted out of the
+    relaxation loop — one compute per kernel instead of per iteration)."""
+    idx = lax.broadcasted_iota(jnp.int32, shape, axis)
+    return idx < 1, idx >= n - 1
+
+
+def _roll_shift(d, axis: int, shift: int, n: int, mask):
     """d shifted by `shift` along `axis` with INF fill (no wraparound)."""
-    rolled = pltpu.roll(d, shift=shift % n, axis=axis)  # circular; edges masked below
-    idx = lax.broadcasted_iota(jnp.int32, d.shape, axis)
-    if shift > 0:
-        mask = idx < shift
-    else:
-        mask = idx >= n + shift
+    rolled = pltpu.roll(d, shift=shift % n, axis=axis)
     return jnp.where(mask, INF_D2, rolled)
 
 
 def _envelope_kernel(axis: int, n: int, d_ref, out_ref):
     """Relax out_ref[:] (initialized from d_ref) to the exact envelope."""
     d0 = d_ref[:]
+    mask_lo, mask_hi = _edge_masks(d0.shape, axis, n)
 
     def cond(state):
         t, _, done = state
@@ -64,8 +67,8 @@ def _envelope_kernel(axis: int, n: int, d_ref, out_ref):
 
         def one(k, dd):
             c = 2 * (t + k) - 1
-            up = _roll_shift(dd, axis, 1, n)
-            dn = _roll_shift(dd, axis, -1, n)
+            up = _roll_shift(dd, axis, 1, n, mask_lo)
+            dn = _roll_shift(dd, axis, -1, n, mask_hi)
             return jnp.minimum(dd, jnp.minimum(up, dn) + c)
 
         new_d = lax.fori_loop(0, _CHECK_EVERY, one, d)
@@ -76,6 +79,59 @@ def _envelope_kernel(axis: int, n: int, d_ref, out_ref):
         cond, body, (jnp.int32(1), d0, jnp.array(False))
     )
     out_ref[:] = d_final
+
+
+def _line_pass_kernel(n: int, mask_ref, out_ref):
+    """Binary line pass along axis 0 of block [X, yt, zt]: exact squared
+    distance (int32) to the nearest seed along x; lines without seeds get
+    INF_D2. Two sequential sweeps over the major dim — each step is one
+    [yt, zt] vector op, so the whole pass is a single HBM read+write."""
+    BIG = n  # any real line distance is <= n-1
+
+    d0 = jnp.where(mask_ref[:] != 0, 0, BIG)
+    out_ref[:] = d0
+
+    def fwd(t, _):
+        prev = out_ref[t - 1]
+        out_ref[t] = jnp.minimum(out_ref[t], prev + 1)
+        return 0
+
+    lax.fori_loop(1, n, fwd, 0)
+
+    def bwd(k, _):
+        t = n - 2 - k
+        nxt = out_ref[t + 1]
+        out_ref[t] = jnp.minimum(out_ref[t], nxt + 1)
+        return 0
+
+    lax.fori_loop(0, n - 1, bwd, 0)
+    d = out_ref[:]
+    out_ref[:] = jnp.where(d >= BIG, INF_D2, d * d)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def line_pass_pallas(mask: jax.Array, interpret: bool = False) -> jax.Array:
+    """Squared line distance along axis 0 of a 3D bool/int mask (Pallas)."""
+    X, Y, Z = mask.shape
+    zt = _pick_tile(Z, 128)
+    # second-to-last block dim must be a multiple of 8 (or the full axis)
+    yt_target = max(1, _BLOCK_BYTES // (X * zt * 4))
+    if Y % 8 == 0 and yt_target >= 8:
+        yt = _pick_tile(Y // 8, yt_target // 8) * 8
+    else:
+        yt = Y if Y < 8 or Y % 8 != 0 else 8
+    grid = (Y // yt, Z // zt)
+    block = (X, yt, zt)
+    index_map = lambda i, j: (0, i, j)
+    kernel = functools.partial(_line_pass_kernel, X)
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[pl.BlockSpec(block, index_map, memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec(block, index_map, memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct(mask.shape, jnp.int32),
+        interpret=interpret,
+    )(mask.astype(jnp.int32))
 
 
 def _pick_tile(total: int, target: int) -> int:
@@ -103,8 +159,9 @@ def envelope_pass_pallas(f: jax.Array, axis: int, interpret: bool = False) -> ja
         block = (xt, Y, zt)
         index_map = lambda i, j: (i, 0, j)
     elif axis == 2:
-        # scanned axis on lanes: block [xt, yt, Z]
-        yt = _pick_tile(Y, 8)
+        # scanned axis on lanes: block [xt, yt, Z]; second-to-last block dim
+        # must be a multiple of 8 or the full axis
+        yt = 8 if Y % 8 == 0 else Y
         xt = _pick_tile(X, max(1, _BLOCK_BYTES // (yt * Z * 4)))
         grid = (X // xt, Y // yt)
         block = (xt, yt, Z)
