@@ -345,3 +345,80 @@ def load_tagged_map(filepath: str) -> TaggedCollisionMap:
     elif magic != b"TCMR":
         raise ValueError(f"invalid TaggedCollisionMap file header {magic!r}")
     return deserialize_tagged_map(body)
+
+
+# ---------------------------------------------------------------------------
+# Native checkpoints (npz + json metadata) — the fast path for our own
+# pytrees; the SDFZ/CMGZ/TCMZ formats above are the reference-interop path.
+# ---------------------------------------------------------------------------
+
+
+def save_checkpoint(path: str, grid) -> None:
+    """Save any of SdfGrid / CollisionMap / TaggedCollisionMap as .npz."""
+    import json as _json
+
+    arrays = {}
+    meta = grid.meta
+    header = {
+        "kind": type(grid).__name__,
+        "shape": list(meta.shape),
+        "frame": meta.frame,
+    }
+    arrays["origin_transform"] = np.asarray(meta.origin_transform, np.float32)
+    arrays["resolution"] = np.asarray(meta.resolution, np.float32)
+    if isinstance(grid, SdfGrid):
+        arrays["values"] = np.asarray(grid.values, np.float32)
+        arrays["oob_value"] = np.asarray(grid.oob_value, np.float32)
+    elif isinstance(grid, CollisionMap):
+        arrays["occupancy"] = np.asarray(grid.occupancy, np.float32)
+        arrays["component"] = np.asarray(grid.component, np.uint32)
+        arrays["oob_occupancy"] = np.asarray(grid.oob_occupancy, np.float32)
+        header["components_valid"] = bool(grid.components_valid)
+    elif isinstance(grid, TaggedCollisionMap):
+        arrays["occupancy"] = np.asarray(grid.occupancy, np.float32)
+        arrays["component"] = np.asarray(grid.component, np.uint32)
+        arrays["object_id"] = np.asarray(grid.object_id, np.uint32)
+        arrays["convex_segment"] = np.asarray(grid.convex_segment, np.uint32)
+        arrays["oob_occupancy"] = np.asarray(grid.oob_occupancy, np.float32)
+        header["components_valid"] = bool(grid.components_valid)
+        header["convex_segments_valid"] = bool(grid.convex_segments_valid)
+    else:
+        raise TypeError(type(grid))
+    arrays["__header__"] = np.frombuffer(
+        _json.dumps(header).encode(), np.uint8
+    )
+    np.savez_compressed(path, **arrays)
+
+
+def load_checkpoint(path: str):
+    import dataclasses as _dc
+    import json as _json
+
+    with np.load(path) as z:
+        header = _json.loads(bytes(z["__header__"].tobytes()).decode())
+        meta = GridMeta.create(
+            z["origin_transform"],
+            float(z["resolution"]),
+            tuple(header["shape"]),
+            header["frame"],
+        )
+        kind = header["kind"]
+        if kind == "SdfGrid":
+            return SdfGrid.create(z["values"], meta, float(z["oob_value"]))
+        if kind == "CollisionMap":
+            cm = CollisionMap.create(
+                z["occupancy"], meta, float(z["oob_occupancy"]), z["component"]
+            )
+            return _dc.replace(cm, components_valid=header["components_valid"])
+        if kind == "TaggedCollisionMap":
+            tm = TaggedCollisionMap.create(
+                z["occupancy"], z["object_id"], meta, float(z["oob_occupancy"])
+            )
+            return _dc.replace(
+                tm,
+                component=z["component"],
+                convex_segment=z["convex_segment"],
+                components_valid=header["components_valid"],
+                convex_segments_valid=header["convex_segments_valid"],
+            )
+        raise ValueError(kind)

@@ -64,7 +64,12 @@ def _trace_depth(
     t_exit = jnp.min(jnp.maximum(t_a, t_b), axis=-1)
     misses_box = (t_entry > t_exit) | (t_exit < t_min)
 
-    ms = s.resolution * 1e-2 if min_step is None else min_step
+    # March at no less than half a cell per step: the SDF is only accurate to
+    # the grid anyway, and creeping (the naive min_step ~ eps) makes grazing
+    # rays take hundreds of 8-gather estimate_distance evaluations. Any
+    # overshoot past the surface is repaired by bisection refinement below,
+    # which recovers the crossing to ~min_step/2^6.
+    ms = s.resolution * 0.5 if min_step is None else min_step
 
     def dist_at(t):
         d, ok = query.estimate_distance(s, o + t[..., None] * v)
@@ -76,24 +81,39 @@ def _trace_depth(
     d0, _, _ = dist_at(t0)
 
     def cond(state):
-        t, d, alive, steps = state
+        t, t_prev, d, alive, steps = state
         return jnp.logical_and(jnp.any(alive), steps < max_steps)
 
     def body(state):
-        t, d, alive, steps = state
+        t, t_prev, d, alive, steps = state
         step = jnp.maximum(d, ms)
         t_new = jnp.where(alive, t + step, t)
+        t_prev_new = jnp.where(alive, t, t_prev)
         step_d, real_d, ok = dist_at(t_new)
         hit = ok & (real_d < eps)
         out = (t_new > t_max) | (t_new > t_exit + s.resolution)
         alive_new = alive & ~hit & ~out
-        return t_new, jnp.where(alive, step_d, d), alive_new, steps + 1
+        return t_new, t_prev_new, jnp.where(alive, step_d, d), alive_new, steps + 1
 
     alive0 = jnp.ones(t0.shape, bool) & ~misses_box
-    t, d, alive, steps = lax.while_loop(cond, body, (t0, d0, alive0, jnp.int32(0)))
+    t, t_prev, d, alive, steps = lax.while_loop(
+        cond, body, (t0, t0, d0, alive0, jnp.int32(0))
+    )
     _, d_final, ok_final = dist_at(t)
     hit = ok_final & (d_final < eps) & (t <= t_max) & ~misses_box
-    depth = jnp.where(hit, t, t_max)
+
+    # bisection refinement: the crossing lies in [t_prev, t] for hit rays
+    def refine(_, bounds):
+        lo, hi = bounds
+        mid = 0.5 * (lo + hi)
+        _, d_mid, _ = dist_at(mid)
+        outside = d_mid > 0.0
+        return jnp.where(outside, mid, lo), jnp.where(outside, hi, mid)
+
+    lo, hi = lax.fori_loop(0, 6, refine, (t_prev, t))
+    t_refined = jnp.where(hit, hi, t)
+
+    depth = jnp.where(hit, t_refined, t_max)
     return depth, hit, jnp.broadcast_to(steps, t.shape)
 
 

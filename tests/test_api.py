@@ -253,3 +253,23 @@ class TestNative:
         comp = native.compress(data)
         out = native.decompress(comp, len(data))
         assert out == data
+
+
+class TestCheckpoints:
+    def test_sdf_checkpoint(self, tmp_path):
+        cmap = _demo_cmap()
+        sdf, _ = cmo.extract_sdf(cmap, oob_value=-10000.0)
+        p = os.path.join(tmp_path, "c.npz")
+        sio.save_checkpoint(p, sdf)
+        sdf2 = sio.load_checkpoint(p)
+        np.testing.assert_array_equal(np.asarray(sdf.values), np.asarray(sdf2.values))
+
+    def test_tagged_checkpoint(self, tmp_path):
+        tmap, _ = cmo.update_convex_segments(_demo_tmap(), 0.3, add_virtual_border=True)
+        p = os.path.join(tmp_path, "t.npz")
+        sio.save_checkpoint(p, tmap)
+        tm2 = sio.load_checkpoint(p)
+        np.testing.assert_array_equal(
+            np.asarray(tmap.convex_segment), np.asarray(tm2.convex_segment)
+        )
+        assert tm2.convex_segments_valid
