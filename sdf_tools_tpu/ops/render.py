@@ -78,6 +78,58 @@ def _trace_depth(
         return step, d, ok
 
     t0 = jnp.maximum(jnp.full(o.shape[:-1], t_min, o.dtype), t_entry)
+
+    # ---- coarse empty-space skipping phase -------------------------------
+    # A min-pooled SDF level (factor^3 blocks, one-block overlap, minus the
+    # half-cell diagonal slack) is a true LOWER bound of the SDF anywhere in
+    # the block, so stepping by it preserves the sphere-tracing invariant.
+    # One cheap gather into a ~(n/8)^3 array replaces ~8x as many fine
+    # 8-corner evaluations while rays cross open space.
+    factor = 8
+    nx, ny, nz = s.meta.shape
+    if min(nx, ny, nz) >= 4 * factor:
+        window = factor + 2
+        pooled = lax.reduce_window(
+            values,
+            jnp.inf,
+            lax.min,
+            (window, window, window),
+            (factor, factor, factor),
+            [(1, window - 1), (1, window - 1), (1, window - 1)],
+        )
+        slack = s.resolution * 0.87
+        coarse = pooled - slack
+        c_shape = jnp.asarray(coarse.shape, jnp.int32)
+        inv_c = 1.0 / (s.resolution * factor)
+
+        def coarse_at(t):
+            g = s.meta.world_to_grid(o + t[..., None] * v)
+            ci = jnp.floor(g * inv_c).astype(jnp.int32)
+            ok = jnp.all((ci >= 0) & (ci < c_shape), axis=-1)
+            ci = jnp.clip(ci, 0, c_shape - 1)
+            d = coarse[ci[..., 0], ci[..., 1], ci[..., 2]]
+            return jnp.where(ok, d, s.resolution * factor)
+
+        switch = 2.0 * s.resolution  # hand off to the fine march below this
+
+        def c_cond(state):
+            t, alive, k = state
+            return jnp.logical_and(jnp.any(alive), k < max_steps)
+
+        def c_body(state):
+            t, alive, k = state
+            dc = coarse_at(t)
+            can_skip = dc > switch
+            step = jnp.maximum(dc, s.resolution)
+            t_new = jnp.where(alive & can_skip, t + step, t)
+            out = (t_new > t_max) | (t_new > t_exit + s.resolution)
+            alive_new = alive & can_skip & ~out
+            return t_new, alive_new, k + 1
+
+        t0, _, _ = lax.while_loop(
+            c_cond, c_body, (t0, jnp.ones(t0.shape, bool) & ~misses_box, jnp.int32(0))
+        )
+
     d0, _, _ = dist_at(t0)
 
     def cond(state):
