@@ -180,7 +180,10 @@ class SdfGrid:
         i = jnp.asarray(indices)
         ok = self.meta.index_in_bounds(i)
         ci = jnp.clip(i, 0, jnp.asarray(self.shape, i.dtype) - 1)
-        v = self.values[ci[..., 0], ci[..., 1], ci[..., 2]]
+        # flat gather: TPU lowers 3-D advanced indexing catastrophically
+        _, ny, nz = self.shape
+        flat = (ci[..., 0] * ny + ci[..., 1]) * nz + ci[..., 2]
+        v = self.values.reshape(-1)[flat]
         return jnp.where(ok, v, self.oob_value), ok
 
     def get_value_by_location(self, points: Array) -> Tuple[Array, Array]:

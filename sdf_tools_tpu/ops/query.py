@@ -42,13 +42,26 @@ Array = jax.Array
 # ---------------------------------------------------------------------------
 
 
+def _flat_gather(values: Array, ix: Array, iy: Array, iz: Array) -> Array:
+    """values[ix, iy, iz] via a flat 1-D gather.
+
+    CRITICAL for performance: XLA:TPU lowers multi-dimensional advanced
+    indexing into whole-slice materialization (measured ~46 M gathers/s and
+    OOM-scale intermediates at 1M queries), while flat minor-dim gathers run
+    at ~70 G elem/s. All hot query paths must go through here.
+    """
+    _, ny, nz = values.shape
+    flat_idx = (ix * ny + iy) * nz + iz
+    return values.reshape(-1)[flat_idx]
+
+
 def corrected_center_distance(sdf: SdfGrid, ix: Array, iy: Array, iz: Array) -> Array:
     """|d| shrunk by res/2 toward the surface (reference sdf.hpp:773-796).
 
     Indices must be in bounds (callers clamp); matches the reference's
     protected accessor contract.
     """
-    v = sdf.values[ix, iy, iz]
+    v = _flat_gather(sdf.values, ix, iy, iz)
     half = sdf.resolution * 0.5
     return jnp.where(v >= 0.0, v - half, v + half)
 
@@ -174,7 +187,7 @@ def grid_aligned_gradient(
     hi = jnp.minimum(ci + 1, shape - 1)
 
     def val(x, y, z):
-        return sdf.values[x, y, z]
+        return _flat_gather(sdf.values, x, y, z)
 
     x, y, z = ci[..., 0], ci[..., 1], ci[..., 2]
     incr = (hi - lo).astype(sdf.values.dtype) * res  # per-axis span

@@ -432,4 +432,6 @@ def resample_nearest(values: Array, meta: GridMeta, new_resolution) -> Tuple[Arr
     loc = new_meta.index_to_location(idx)
     old_idx = meta.location_to_index(loc)
     old_idx = jnp.clip(old_idx, 0, jnp.asarray(meta.shape) - 1)
-    return values[old_idx[..., 0], old_idx[..., 1], old_idx[..., 2]], new_meta
+    _, ny, nz = meta.shape
+    flat = (old_idx[..., 0] * ny + old_idx[..., 1]) * nz + old_idx[..., 2]
+    return values.reshape(-1)[flat], new_meta

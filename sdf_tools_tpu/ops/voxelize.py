@@ -26,12 +26,14 @@ def voxelize_points(points: Array, meta: GridMeta, weights: Array | None = None)
     p = jnp.asarray(points)
     idx = meta.location_to_index(p)  # floor((world->grid)/res)
     in_bounds = meta.index_in_bounds(idx)
-    # route OOB scatters to a dropped index
-    safe = jnp.where(in_bounds[..., None], idx, -1)
-    occ = jnp.zeros(meta.shape, jnp.float32)
+    nx, ny, nz = meta.shape
+    # flat scatter (TPU lowers multi-dim scatters poorly); OOB -> dropped
+    flat_idx = (idx[..., 0] * ny + idx[..., 1]) * nz + idx[..., 2]
+    flat_idx = jnp.where(in_bounds, flat_idx, -1)
+    occ = jnp.zeros(nx * ny * nz, jnp.float32)
     w = jnp.ones(p.shape[:-1], jnp.float32) if weights is None else jnp.asarray(weights)
-    occ = occ.at[safe[..., 0], safe[..., 1], safe[..., 2]].max(w, mode="drop")
-    return occ
+    occ = occ.at[flat_idx].max(w, mode="drop")
+    return occ.reshape(meta.shape)
 
 
 def soft_voxelize_points(points: Array, meta: GridMeta, temperature: float = 1.0) -> Array:
@@ -49,7 +51,8 @@ def soft_voxelize_points(points: Array, meta: GridMeta, temperature: float = 1.0
     base = jnp.floor(g)
     frac = g - base
     base = base.astype(jnp.int32)
-    occ = jnp.zeros(meta.shape, jnp.float32)
+    nx, ny, nz = meta.shape
+    occ = jnp.zeros(nx * ny * nz, jnp.float32)
     shape_arr = jnp.asarray(meta.shape, jnp.int32)
     for dx in (0, 1):
         for dy in (0, 1):
@@ -61,10 +64,10 @@ def soft_voxelize_points(points: Array, meta: GridMeta, temperature: float = 1.0
                     * (frac[..., 2] if dz else 1.0 - frac[..., 2])
                 )
                 ok = jnp.all((corner >= 0) & (corner < shape_arr), axis=-1)
-                safe = jnp.where(ok[..., None], corner, -1)
-                occ = occ.at[safe[..., 0], safe[..., 1], safe[..., 2]].add(
-                    jnp.where(ok, w, 0.0), mode="drop"
-                )
+                flat_idx = (corner[..., 0] * ny + corner[..., 1]) * nz + corner[..., 2]
+                flat_idx = jnp.where(ok, flat_idx, -1)
+                occ = occ.at[flat_idx].add(jnp.where(ok, w, 0.0), mode="drop")
+    occ = occ.reshape(meta.shape)
     return 1.0 - jnp.exp(-occ / temperature)
 
 
