@@ -87,7 +87,9 @@ def bench_render(mask: np.ndarray, repeats: int = 3):
         jnp.asarray([0.0, 0.0, 1.0]), 50.0, h, w,
     )
     f = jax.jit(
-        lambda s: render.render_depth(s, origins, dirs, t_max=4.0 * n * res).depth
+        lambda s: render.render_depth(
+            s, origins, dirs, t_max=4.0 * n * res, max_steps=64
+        ).depth
     )
     out = f(sdf)
     out.block_until_ready()

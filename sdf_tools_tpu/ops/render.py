@@ -6,10 +6,12 @@ New capability mandated by BASELINE.json ("sphere-traced ray-march renderer
 reference has only rviz marker export (SURVEY.md C7g).
 
 Design:
-  * Forward: lockstep sphere tracing under ``lax.while_loop`` — every ray
-    advances ``t += max(d, min_step)`` until ``|d| < eps``, ``t > t_max``, or
-    the ray leaves alive-set; masked updates keep all rays in SIMD lockstep.
-  * Backward: reverse-mode through a while_loop is undefined, so depth is
+  * Forward: lockstep sphere tracing as a fully PYTHON-UNROLLED straight-line
+    program (ray/AABB entry -> coarse min-pool empty-space skipping -> fine
+    march ``t += max(d, min_step)`` -> bisection refinement), with masked
+    per-ray state. Unrolling matters enormously on TPU: XLA's in-loop gather
+    lowering is ~20,000x slower than straight-line gathers (docs/NOTES.md).
+  * Backward: the march is non-differentiable control flow, so depth is
     wrapped in a ``custom_vjp`` using the implicit function theorem: at a hit,
     F(t*, values) = d(o + t* v; values) - eps = 0, hence
     dt*/dtheta = -(dd/dtheta) / (grad d . v). Exact for converged hits, one
@@ -69,6 +71,13 @@ def _trace_depth(
     # rays take hundreds of 8-gather estimate_distance evaluations. Any
     # overshoot past the surface is repaired by bisection refinement below,
     # which recovers the crossing to ~min_step/2^6.
+    #
+    # CRITICAL: every marching phase below is a PYTHON-UNROLLED straight-line
+    # program, not a lax loop. Measured on TPU v5e: the identical body runs
+    # ~20,000x faster unrolled (0.2 ms for 32 steps x 1M rays) than inside
+    # lax.fori_loop/scan (~4 s), because XLA's in-loop gather lowering
+    # serializes (docs/NOTES.md §7). All rays take all steps with masked
+    # updates — with steps this cheap, early exit is pure loss.
     ms = s.resolution * 0.5 if min_step is None else min_step
 
     def dist_at(t):
@@ -83,23 +92,29 @@ def _trace_depth(
     # A min-pooled SDF level (factor^3 blocks, one-block overlap, minus the
     # half-cell diagonal slack) is a true LOWER bound of the SDF anywhere in
     # the block, so stepping by it preserves the sphere-tracing invariant.
-    # One cheap gather into a ~(n/8)^3 array replaces ~8x as many fine
-    # 8-corner evaluations while rays cross open space.
     factor = 8
     nx, ny, nz = s.meta.shape
+    coarse_steps = max(8, max_steps // 8)
     if min(nx, ny, nz) >= 4 * factor:
         window = factor + 2
-        pooled = lax.reduce_window(
-            values,
-            jnp.inf,
-            lax.min,
-            (window, window, window),
-            (factor, factor, factor),
-            [(1, window - 1), (1, window - 1), (1, window - 1)],
-        )
+        # separable min-pool (3 x 1-D windows; a single 10^3 reduce_window
+        # costs ~1000 ops/voxel, separable costs ~30)
+        pooled = values
+        for ax in range(3):
+            win = [1, 1, 1]
+            stride = [1, 1, 1]
+            pad = [(0, 0), (0, 0), (0, 0)]
+            win[ax] = window
+            stride[ax] = factor
+            pad[ax] = (1, window - 1)
+            pooled = lax.reduce_window(
+                pooled, jnp.inf, lax.min, tuple(win), tuple(stride), pad
+            )
         slack = s.resolution * 0.87
         coarse = pooled - slack
         c_shape = jnp.asarray(coarse.shape, jnp.int32)
+        cny, cnz = coarse.shape[1], coarse.shape[2]
+        coarse_flat = coarse.reshape(-1)
         inv_c = 1.0 / (s.resolution * factor)
 
         def coarse_at(t):
@@ -107,66 +122,100 @@ def _trace_depth(
             ci = jnp.floor(g * inv_c).astype(jnp.int32)
             ok = jnp.all((ci >= 0) & (ci < c_shape), axis=-1)
             ci = jnp.clip(ci, 0, c_shape - 1)
-            d = coarse[ci[..., 0], ci[..., 1], ci[..., 2]]
+            # flat gather (3-D indexing is catastrophic on TPU)
+            d = coarse_flat[(ci[..., 0] * cny + ci[..., 1]) * cnz + ci[..., 2]]
             return jnp.where(ok, d, s.resolution * factor)
 
         switch = 2.0 * s.resolution  # hand off to the fine march below this
-
-        def c_cond(state):
-            t, alive, k = state
-            return jnp.logical_and(jnp.any(alive), k < max_steps)
-
-        def c_body(state):
-            t, alive, k = state
+        t = t0
+        alive = jnp.ones(t0.shape, bool) & ~misses_box
+        for _ in range(coarse_steps):
             dc = coarse_at(t)
             can_skip = dc > switch
             step = jnp.maximum(dc, s.resolution)
             t_new = jnp.where(alive & can_skip, t + step, t)
             out = (t_new > t_max) | (t_new > t_exit + s.resolution)
-            alive_new = alive & can_skip & ~out
-            return t_new, alive_new, k + 1
+            alive = alive & can_skip & ~out
+            t = t_new
+        t0 = t
 
-        t0, _, _ = lax.while_loop(
-            c_cond, c_body, (t0, jnp.ones(t0.shape, bool) & ~misses_box, jnp.int32(0))
-        )
+    # ---- nearest-neighbor march (1 scattered gather per step) ------------
+    # Scattered gathers are the wall on TPU (~50-70 M/s, HBM transactions):
+    # marching on the raw cell value with a half-cell-diagonal conservative
+    # correction costs ONE gather per step instead of trilinear's eight.
+    # d(p) >= cell_value - 0.87*res for p anywhere in the cell, so the
+    # corrected step preserves the sphere-tracing invariant up to the
+    # min_step creep, which the trilinear refinement below repairs.
+    nn_shape = jnp.asarray(s.meta.shape, jnp.int32)
+    vny, vnz = s.meta.shape[1], s.meta.shape[2]
+    values_flat = values.reshape(-1)
+    inv_res = 1.0 / s.resolution
+    nn_slack = s.resolution * 0.87
 
-    d0, _, _ = dist_at(t0)
+    def nn_dist(t):
+        g = s.meta.world_to_grid(o + t[..., None] * v)
+        ci = jnp.floor(g * inv_res).astype(jnp.int32)
+        ok = jnp.all((ci >= 0) & (ci < nn_shape), axis=-1)
+        ci = jnp.clip(ci, 0, nn_shape - 1)
+        d = values_flat[(ci[..., 0] * vny + ci[..., 1]) * vnz + ci[..., 2]]
+        return jnp.where(ok, d, s.resolution), ok
 
-    def cond(state):
-        t, t_prev, d, alive, steps = state
-        return jnp.logical_and(jnp.any(alive), steps < max_steps)
+    # Alternating rounds: grazing rays that pass a near-surface region
+    # without hitting resume NN marching in the next round.
+    rounds = 3
+    nn_steps = max(4, max_steps // rounds)
+    tri_steps = 6
 
-    def body(state):
-        t, t_prev, d, alive, steps = state
-        step = jnp.maximum(d, ms)
-        t_new = jnp.where(alive, t + step, t)
-        t_prev_new = jnp.where(alive, t, t_prev)
-        step_d, real_d, ok = dist_at(t_new)
-        hit = ok & (real_d < eps)
-        out = (t_new > t_max) | (t_new > t_exit + s.resolution)
-        alive_new = alive & ~hit & ~out
-        return t_new, t_prev_new, jnp.where(alive, step_d, d), alive_new, steps + 1
+    t, t_prev = t0, t0
+    in_box = jnp.ones(t0.shape, bool) & ~misses_box
+    hit = jnp.zeros(t0.shape, bool)
+    for _ in range(rounds):
+        # NN phase: skip open space at one gather per step; stop when near
+        near = jnp.zeros(t0.shape, bool)
+        for _ in range(nn_steps):
+            dnn, ok = nn_dist(t)
+            near_now = ok & (dnn < 2.0 * s.resolution)
+            advance = in_box & ~hit & ~near & ~near_now
+            step = jnp.maximum(dnn - nn_slack, ms)
+            t_new = jnp.where(advance, t + step, t)
+            t_prev = jnp.where(advance, t, t_prev)
+            in_box = in_box & ~(
+                (t_new > t_max) | (t_new > t_exit + s.resolution)
+            )
+            near = near | (in_box & ~hit & near_now)
+            t = t_new
 
-    alive0 = jnp.ones(t0.shape, bool) & ~misses_box
-    t, t_prev, d, alive, steps = lax.while_loop(
-        cond, body, (t0, t0, d0, alive0, jnp.int32(0))
-    )
+        # trilinear phase: cross the surface and record the hit bracket
+        _, d, _ = dist_at(t)
+        for _ in range(tri_steps):
+            advance = near & in_box & ~hit & (d >= eps)
+            step = jnp.maximum(d, ms)
+            t_new = jnp.where(advance, t + step, t)
+            t_prev = jnp.where(advance, t, t_prev)
+            _, d_new, _ = dist_at(t_new)
+            in_box = in_box & ~(
+                (t_new > t_max) | (t_new > t_exit + s.resolution)
+            )
+            d = jnp.where(advance, d_new, d)
+            t = t_new
+        hit = hit | (near & in_box & (d < eps))
+
     _, d_final, ok_final = dist_at(t)
-    hit = ok_final & (d_final < eps) & (t <= t_max) & ~misses_box
+    hit = hit & ok_final & (d_final < eps) & (t <= t_max) & ~misses_box
 
     # bisection refinement: the crossing lies in [t_prev, t] for hit rays
-    def refine(_, bounds):
-        lo, hi = bounds
+    lo, hi = t_prev, t
+    for _ in range(6):
         mid = 0.5 * (lo + hi)
         _, d_mid, _ = dist_at(mid)
         outside = d_mid > 0.0
-        return jnp.where(outside, mid, lo), jnp.where(outside, hi, mid)
-
-    lo, hi = lax.fori_loop(0, 6, refine, (t_prev, t))
+        lo = jnp.where(outside, mid, lo)
+        hi = jnp.where(outside, hi, mid)
     t_refined = jnp.where(hit, hi, t)
 
     depth = jnp.where(hit, t_refined, t_max)
-    return depth, hit, jnp.broadcast_to(steps, t.shape)
+    steps_used = jnp.zeros(t.shape, jnp.int32)
+    return depth, hit, steps_used
 
 
 @partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8))
@@ -233,7 +282,7 @@ def render_depth(
     t_min: float = 0.0,
     t_max: float = 10.0,
     eps: float = 1e-3,
-    max_steps: int = 256,
+    max_steps: int = 96,
     min_step: float | None = None,
 ) -> RenderResult:
     """Sphere-trace depth for rays (origins, directions) -> RenderResult.
