@@ -317,6 +317,29 @@ def signed_field_from_masks(
     return dist, jnp.max(dist), jnp.min(dist)
 
 
+def signed_field_lowmem(filled_mask, resolution, backend: str = "pallas") -> Array:
+    """Memory-lean signed field for volumes near the HBM limit (e.g. 1024^3
+    on one 16 GB chip, ~1.07e9 voxels).
+
+    Host-orchestrated sequencing: each stage runs as its own jit call so XLA
+    frees the 4 GB intermediates between stages (the fused version keeps
+    both d^2 fields + combine temps live and exhausts HBM). Peak usage is
+    one d^2 field + one partial float field (~9 GB at 1024^3).
+    """
+    mask = jnp.asarray(filled_mask, bool)
+    edt_fn = jax.jit(partial(squared_edt, backend=backend))
+    conv = jax.jit(lambda d2, r: d2_to_distance(d2, r))
+    res = jnp.asarray(resolution, jnp.float32)
+
+    d2f = edt_fn(mask)
+    part = conv(d2f, res)
+    del d2f
+    d2e = edt_fn(~mask)
+    neg = conv(d2e, res)
+    del d2e
+    return jax.jit(lambda a, b: a - b)(part, neg)
+
+
 def _virtual_border_masks(filled_mask: Array) -> Tuple[Array, Array, Tuple[slice, ...]]:
     """Enlarged masks for the virtual-border variant (sdf_generation.hpp:289-379)."""
     shape = filled_mask.shape

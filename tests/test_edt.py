@@ -166,3 +166,12 @@ def test_pallas_backend_exact(shape, p):
     ours = np.asarray(edt.squared_edt(jnp.asarray(mask), backend="pallas"))
     truth = oracle.brute_force_d2(shape, mask)
     np.testing.assert_array_equal(ours, truth)
+
+
+def test_signed_field_lowmem_matches_fused():
+    rng = np.random.default_rng(11)
+    mask = rng.random((16, 12, 8)) < 0.15
+    mask[0, 0, 0] = True
+    fused, _, _ = edt.signed_field_from_masks(jnp.asarray(mask), 0.05, backend="stencil")
+    lowmem = edt.signed_field_lowmem(jnp.asarray(mask), 0.05, backend="stencil")
+    np.testing.assert_allclose(np.asarray(lowmem), np.asarray(fused), rtol=1e-6)
