@@ -175,3 +175,13 @@ def test_signed_field_lowmem_matches_fused():
     fused, _, _ = edt.signed_field_from_masks(jnp.asarray(mask), 0.05, backend="stencil")
     lowmem = edt.signed_field_lowmem(jnp.asarray(mask), 0.05, backend="stencil")
     np.testing.assert_allclose(np.asarray(lowmem), np.asarray(fused), rtol=1e-6)
+
+
+@pytest.mark.parametrize("n_slabs", [2, 4])
+def test_signed_field_slabbed_matches_fused(n_slabs):
+    rng = np.random.default_rng(12)
+    mask = rng.random((16, 12, 8)) < 0.15
+    mask[0, 0, 0] = True
+    fused, _, _ = edt.signed_field_from_masks(jnp.asarray(mask), 0.05, backend="stencil")
+    slabbed = edt.signed_field_slabbed(mask, 0.05, n_slabs=n_slabs, backend="stencil")
+    np.testing.assert_allclose(slabbed, np.asarray(fused), rtol=1e-6)
