@@ -422,3 +422,24 @@ def load_checkpoint(path: str):
                 convex_segments_valid=header["convex_segments_valid"],
             )
         raise ValueError(kind)
+
+
+def collision_map_message_blob(cmap: CollisionMap, n_components: int = 0) -> bytes:
+    """Always-compressed CollisionMap msg payload (collision_map.cpp:285-299)."""
+    return zlib.compress(serialize_collision_map(cmap, n_components))
+
+
+def collision_map_from_message_blob(blob: bytes, is_compressed: bool = True) -> CollisionMap:
+    body = zlib.decompress(blob) if is_compressed else blob
+    return deserialize_collision_map(body)
+
+
+def tagged_map_message_blob(tmap: TaggedCollisionMap) -> bytes:
+    """Always-compressed TaggedObjectCollisionMap msg payload
+    (tagged_object_collision_map.cpp:306-320)."""
+    return zlib.compress(serialize_tagged_map(tmap))
+
+
+def tagged_map_from_message_blob(blob: bytes, is_compressed: bool = True) -> TaggedCollisionMap:
+    body = zlib.decompress(blob) if is_compressed else blob
+    return deserialize_tagged_map(body)
