@@ -18,10 +18,9 @@ from __future__ import annotations
 import dataclasses
 from typing import Dict, Optional, Tuple
 
-import jax.numpy as jnp
 import numpy as np
 
-from .grid import CollisionMap, GridMeta, make_origin_transform
+from .grid import CollisionMap, GridMeta
 
 CHUNK_UNINITIALIZED = 0
 CHUNK_FILLED = 1  # uniform value for the whole chunk
@@ -150,8 +149,6 @@ class DynamicSpatialHashedCollisionMap:
         """(centers [N,3], colors [N,4]) for chunk-level + cell-level content
         (reference ExportForDisplay walks chunks and emits chunk-level or
         cell-level cubes)."""
-        from . import viz
-
         pts, cols = [], []
         for key, chunk in self.chunks.items():
             k = np.asarray(key, float)

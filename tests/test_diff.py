@@ -10,7 +10,7 @@ import pytest
 import jax
 import jax.numpy as jnp
 
-from sdf_tools_tpu.grid import GridMeta, SdfGrid, make_origin_transform
+from sdf_tools_tpu.grid import GridMeta, make_origin_transform
 from sdf_tools_tpu.ops import diff, edt, query
 from sdf_tools_tpu.oracle.reference_query import OracleSdf
 

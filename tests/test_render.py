@@ -6,7 +6,7 @@ import jax
 import jax.numpy as jnp
 
 from sdf_tools_tpu.grid import GridMeta, SdfGrid, make_origin_transform
-from sdf_tools_tpu.ops import edt, query, render, voxelize
+from sdf_tools_tpu.ops import edt, render, voxelize
 
 
 def _sphere_scene(n=32, res=0.1, radius_cells=8):

@@ -4,8 +4,8 @@ import pytest
 
 import jax
 import jax.numpy as jnp
-from jax import lax
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from jax.sharding import PartitionSpec as P
 from jax.experimental.shard_map import shard_map
 
 from sdf_tools_tpu.ops import edt

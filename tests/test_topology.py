@@ -1,7 +1,6 @@
 """Topology suite: connected components, holes/voids census, extrema map,
 convex segmentation, resample."""
 import numpy as np
-import pytest
 
 import jax
 import jax.numpy as jnp
