@@ -113,7 +113,11 @@ def _line_pass_kernel(n: int, mask_ref, out_ref):
 def line_pass_pallas(mask: jax.Array, interpret: bool = False) -> jax.Array:
     """Squared line distance along axis 0 of a 3D bool/int mask (Pallas)."""
     X, Y, Z = mask.shape
-    zt = _pick_tile(Z, 128)
+    if Z == 1 and Y > 1:
+        # 2D grids: put the non-trivial axis on lanes (see envelope note)
+        out = line_pass_pallas(mask.reshape(X, 1, Y), interpret)
+        return out.reshape(X, Y, 1)
+    zt = _lane_tile(Z)
     # second-to-last block dim must be a multiple of 8 (or the full axis)
     yt_target = max(1, _BLOCK_BYTES // (X * zt * 4))
     if Y % 8 == 0 and yt_target >= 8:
@@ -142,6 +146,11 @@ def _pick_tile(total: int, target: int) -> int:
     return t
 
 
+def _lane_tile(Z: int) -> int:
+    """Lane-dim (minor) block size: a multiple of 128 or the full axis."""
+    return 128 if Z % 128 == 0 else Z
+
+
 @functools.partial(jax.jit, static_argnames=("axis", "interpret"))
 def envelope_pass_pallas(f: jax.Array, axis: int, interpret: bool = False) -> jax.Array:
     """Exact envelope transform along `axis` (1 or 2) of a 3D int32 array."""
@@ -149,9 +158,15 @@ def envelope_pass_pallas(f: jax.Array, axis: int, interpret: bool = False) -> ja
     n = f.shape[axis]
     if n == 1:
         return f
+    if axis == 1 and Z == 1:
+        # 2D grids: [X, Y, 1] is memory-identical to [X, 1, Y]; run the
+        # lane-dim kernel instead (sublane rolls with a single lane crash
+        # the Mosaic compiler)
+        out = envelope_pass_pallas(f.reshape(X, 1, Y), 2, interpret)
+        return out.reshape(X, Y, 1)
     if axis == 1:
         # scanned axis on sublanes: block [xt, Y, zt]
-        zt = _pick_tile(Z, 128)
+        zt = _lane_tile(Z)
         # Pallas double-buffers in+out and the while carry keeps ~2 more
         # copies live; keep the block small enough for ~12 copies in VMEM.
         xt = _pick_tile(X, max(1, _BLOCK_BYTES // (Y * zt * 4)))

@@ -185,3 +185,20 @@ def test_signed_field_slabbed_matches_fused(n_slabs):
     fused, _, _ = edt.signed_field_from_masks(jnp.asarray(mask), 0.05, backend="stencil")
     slabbed = edt.signed_field_slabbed(mask, 0.05, n_slabs=n_slabs, backend="stencil")
     np.testing.assert_allclose(slabbed, np.asarray(fused), rtol=1e-6)
+
+
+@pytest.mark.parametrize(
+    "shape", [(100, 90, 60), (33, 130, 7), (256, 100, 1), (65, 64, 129)]
+)
+def test_pallas_odd_shapes(shape):
+    """Mosaic tiling-constraint coverage: 2D grids, non-128 lanes, odd dims
+    (these crashed or mis-tiled before the lane-tile/reshape fixes)."""
+    from sdf_tools_tpu import native
+
+    if not native.available():
+        pytest.skip("needs the native exact oracle (too big for brute force)")
+    rng = np.random.default_rng(5)
+    mask = _random_mask(rng, shape, 0.1)
+    ours = np.asarray(edt.squared_edt(jnp.asarray(mask), backend="pallas"))
+    truth = native.edt_exact(mask)
+    np.testing.assert_array_equal(ours.astype(np.int64), truth)
