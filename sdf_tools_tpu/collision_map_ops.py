@@ -31,7 +31,7 @@ def extract_sdf(
     oob_value=jnp.inf,
     unknown_is_filled: bool = False,
     add_virtual_border: bool = False,
-    backend: str = "stencil",
+    backend: str = "auto",
 ) -> Tuple[SdfGrid, Tuple[Array, Array]]:
     """``CollisionMapGrid::ExtractSignedDistanceField``
     (collision_map.hpp:680-712): filled = occupancy > 0.5 (or == 0.5 when
@@ -134,7 +134,7 @@ def extract_tagged_sdf(
     objects_to_use: Sequence[int] = (),
     unknown_is_filled: bool = False,
     add_virtual_border: bool = False,
-    backend: str = "stencil",
+    backend: str = "auto",
 ) -> Tuple[SdfGrid, Tuple[Array, Array]]:
     mask = tagged_filled_mask(tmap, objects_to_use, unknown_is_filled)
     return edt.extract_signed_distance_field(
@@ -146,7 +146,7 @@ def extract_free_and_named_objects_sdf(
     tmap: TaggedCollisionMap,
     oob_value=jnp.inf,
     unknown_is_filled: bool = True,
-    backend: str = "stencil",
+    backend: str = "auto",
 ) -> Tuple[SdfGrid, Tuple[Array, Array]]:
     """``ExtractFreeAndNamedObjectsSignedDistanceField``
     (tagged_object_collision_map.hpp:730-811): free-space SDF over ALL
@@ -174,7 +174,7 @@ def make_object_sdfs(
     object_ids: Optional[Sequence[int]] = None,
     unknown_is_filled: bool = False,
     add_virtual_border: bool = False,
-    backend: str = "stencil",
+    backend: str = "auto",
 ) -> Dict[int, SdfGrid]:
     """Per-object SDF map (``MakeObjectSDFs``/``MakeAllObjectSDFs``,
     tagged_object_collision_map.hpp:875-915). object_ids=None -> all ids
@@ -211,7 +211,7 @@ def update_convex_segments(
     tmap: TaggedCollisionMap,
     connected_threshold,
     add_virtual_border: bool = False,
-    backend: str = "stencil",
+    backend: str = "auto",
 ) -> Tuple[TaggedCollisionMap, Array]:
     """``UpdateConvexSegments`` (tagged_object_collision_map.cpp:552-654):
     SDF (virtual-border or free+named) -> local extrema map -> components of

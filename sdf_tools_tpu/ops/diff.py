@@ -30,7 +30,7 @@ from . import edt
 
 
 @partial(jax.custom_vjp, nondiff_argnums=(2,))
-def sdf_from_occupancy_st(occupancy, resolution, backend: str = "stencil"):
+def sdf_from_occupancy_st(occupancy, resolution, backend: str = "auto"):
     """Signed distance values from an occupancy grid, straight-through diff."""
     mask = occupancy > 0.5
     values, _, _ = edt.signed_field_from_masks(mask, resolution, backend=backend)

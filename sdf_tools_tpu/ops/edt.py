@@ -267,18 +267,26 @@ _ENVELOPE_BACKENDS = {
 }
 
 
+def resolve_backend(backend: str) -> str:
+    """"auto" -> the Pallas kernels on TPU, the XLA stencil elsewhere."""
+    if backend != "auto":
+        return backend
+    return "pallas" if jax.default_backend() in ("tpu", "axon") else "stencil"
+
+
 # ---------------------------------------------------------------------------
 # Full squared EDT and signed-field extraction
 # ---------------------------------------------------------------------------
 
 
-def squared_edt(seed_mask: Array, backend: str = "stencil") -> Array:
+def squared_edt(seed_mask: Array, backend: str = "auto") -> Array:
     """Exact int32 squared Euclidean cell distances to the True set of ``seed_mask``.
 
     Equivalent to the d^2 field of the reference's BuildDistanceField
     (``sdf_generation.hpp:95``) except exact (see module docstring). Values
     >= INF_D2 mean "no seed exists anywhere".
     """
+    backend = resolve_backend(backend)
     env = _ENVELOPE_BACKENDS[backend]
     mask = jnp.asarray(seed_mask, bool)
     if mask.ndim != 3:
@@ -301,7 +309,7 @@ def d2_to_distance(d2: Array, resolution: Array, dtype=jnp.float32) -> Array:
 
 
 def signed_field_from_masks(
-    filled_mask: Array, resolution: Array, backend: str = "stencil", dtype=jnp.float32
+    filled_mask: Array, resolution: Array, backend: str = "auto", dtype=jnp.float32
 ) -> Tuple[Array, Array, Array]:
     """Two-field signed distance values (reference sdf_generation.hpp:242-268).
 
@@ -317,7 +325,7 @@ def signed_field_from_masks(
     return dist, jnp.max(dist), jnp.min(dist)
 
 
-def signed_field_lowmem(filled_mask, resolution, backend: str = "pallas") -> Array:
+def signed_field_lowmem(filled_mask, resolution, backend: str = "auto") -> Array:
     """Memory-lean signed field for volumes near the HBM limit (e.g. 1024^3
     on one 16 GB chip, ~1.07e9 voxels).
 
@@ -367,7 +375,7 @@ def _slab_summaries(mask: Array, n_slabs: int):
 
 
 def squared_edt_slabbed(
-    seed_mask: Array, n_slabs: int = 2, backend: str = "pallas"
+    seed_mask: Array, n_slabs: int = 2, backend: str = "auto"
 ):
     """Exact squared EDT computed slab-by-slab along x (HBM-limit volumes).
 
@@ -377,6 +385,7 @@ def squared_edt_slabbed(
     the summaries. Yields each slab's d^2 in sequence (host assembles or
     consumes them streaming); peak device memory is one slab's working set.
     """
+    backend = resolve_backend(backend)
     mask = jnp.asarray(seed_mask, bool)
     lows, highs, sl, SENT = _slab_summaries(mask, n_slabs)
     env = _ENVELOPE_BACKENDS[backend]
@@ -409,7 +418,7 @@ def squared_edt_slabbed(
 
 
 def signed_field_slabbed(
-    filled_mask, resolution, n_slabs: int = 4, backend: str = "pallas"
+    filled_mask, resolution, n_slabs: int = 4, backend: str = "auto"
 ) -> "np.ndarray":
     """Exact signed field for volumes beyond single-shot HBM capacity
     (1024^3 = 1.07e9 voxels on one 16 GB chip). Streams slab results to
@@ -458,7 +467,7 @@ def _virtual_border_masks(filled_mask: Array) -> Tuple[Array, Array, Tuple[slice
 
 
 def signed_field_virtual_border(
-    filled_mask: Array, resolution: Array, backend: str = "stencil", dtype=jnp.float32
+    filled_mask: Array, resolution: Array, backend: str = "auto", dtype=jnp.float32
 ) -> Tuple[Array, Array, Array]:
     """Virtual-border signed field (reference sdf_generation.hpp:273-420).
 
@@ -488,7 +497,7 @@ def extract_signed_distance_field(
     meta: GridMeta,
     oob_value=jnp.inf,
     add_virtual_border: bool = False,
-    backend: str = "stencil",
+    backend: str = "auto",
 ) -> Tuple[SdfGrid, Tuple[Array, Array]]:
     """Build an SdfGrid from a filled-voxel mask.
 

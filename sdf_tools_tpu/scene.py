@@ -103,7 +103,7 @@ def primitives_to_occupancy(primitives: Sequence[Primitive], meta: GridMeta) -> 
 class SdfBuilder:
     """Caching SDF builder over a mutable scene (primitives + octomap)."""
 
-    def __init__(self, meta: GridMeta, oob_value: float = np.inf, backend: str = "stencil"):
+    def __init__(self, meta: GridMeta, oob_value: float = np.inf, backend: str = "auto"):
         self.meta = meta
         self.oob_value = oob_value
         self.backend = backend

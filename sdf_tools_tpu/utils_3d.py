@@ -51,7 +51,7 @@ def get_gradient(sdf: SdfGrid, dtype=np.float64):
     )
 
 
-def compute_sdf_and_gradient_batched(envs, res, origin_point, backend="stencil"):
+def compute_sdf_and_gradient_batched(envs, res, origin_point, backend="auto"):
     """Natively-batched differentiable variant (replaces
     utils_3d_tensorflow.py's per-element Python loop with one vmapped jit).
 
