@@ -68,6 +68,22 @@ def extract_component_surfaces(
     return surf & sel
 
 
+def extract_component_surfaces_map(
+    cmap: CollisionMap, component_types: str = "filled"
+) -> Dict[int, np.ndarray]:
+    """Reference-shaped ``ExtractComponentSurfaces`` result: a map keyed by
+    component id with that component's surface voxel indices [k, 3]
+    (``collision_map.cpp:697-754`` returns map<component, surface index map>).
+    The dense mask from :func:`extract_component_surfaces` is the TPU-native
+    form; this is the host-side API-parity view."""
+    surf = np.asarray(extract_component_surfaces(cmap, component_types))
+    comp = np.asarray(cmap.component)
+    out: Dict[int, np.ndarray] = {}
+    for c in np.unique(comp[surf]):
+        out[int(c)] = np.argwhere(surf & (comp == c))
+    return out
+
+
 def extract_connected_components(cmap: CollisionMap) -> Dict[int, np.ndarray]:
     """Per-component voxel index lists (``collision_map.cpp:756-778``).
 

@@ -17,9 +17,10 @@ arc_utilities primitive conventions (little-endian):
   * SerializeEigen<Isometry3d>: the 4x4 matrix as 16 float64 in Eigen's
     default (column-major) storage order.
   * COLLISION_CELL: float occupancy, uint32 component (8 bytes).
-  * TAGGED_OBJECT_COLLISION_CELL: float occupancy, uint32 object_id,
-    uint32 component, uint32 convex_segment (16 bytes) — field order per
-    ``tagged_object_collision_map.hpp:22-43``.
+  * TAGGED_OBJECT_COLLISION_CELL: float occupancy, uint32 component,
+    uint32 object_id, uint32 convex_segment (16 bytes) — field order per
+    ``tagged_object_collision_map.hpp:22-43`` (the struct is serialized by
+    raw memcpy, so this declaration order IS the byte layout).
 
 Grid data is x-major / z-fastest (``utils_3d.py:71-75``), which is exactly
 the C-order raveling of our ``[nx, ny, nz]`` arrays.
@@ -37,8 +38,8 @@ from .grid import CollisionMap, GridMeta, SdfGrid, TaggedCollisionMap
 _TAGGED_CELL_DT = np.dtype(
     [
         ("occupancy", "<f4"),
-        ("object_id", "<u4"),
         ("component", "<u4"),
+        ("object_id", "<u4"),
         ("convex_segment", "<u4"),
     ]
 )
@@ -133,7 +134,9 @@ def serialize_sdf(sdf: SdfGrid, locked: bool = False) -> bytes:
     w.pod("Q", data.size)
     w.raw(data.tobytes())
     _write_common_footer(w, sdf.meta)
-    w.pod("f", 0.0)  # default_value (reference stores ctor default == oob)
+    # The reference's SDF ctor sets default_value_ == oob_value_ (sdf.hpp
+    # forwarding ctors), so a reference-written file carries oob in both slots.
+    w.pod("f", float(sdf.oob_value))  # default_value
     w.pod("f", float(sdf.oob_value))
     w.string(sdf.meta.frame)
     w.pod("B", int(locked))

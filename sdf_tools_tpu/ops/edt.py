@@ -387,6 +387,11 @@ def squared_edt_slabbed(
     """
     backend = resolve_backend(backend)
     mask = jnp.asarray(seed_mask, bool)
+    if mask.shape[0] % n_slabs != 0:
+        raise ValueError(
+            f"shape[0]={mask.shape[0]} must be divisible by n_slabs={n_slabs}"
+            " (the cross-slab distance decomposition assumes uniform slabs)"
+        )
     lows, highs, sl, SENT = _slab_summaries(mask, n_slabs)
     env = _ENVELOPE_BACKENDS[backend]
 
@@ -395,8 +400,12 @@ def squared_edt_slabbed(
         n_local = slab.shape[0]
         if backend == "pallas":
             f_local = _line_d2_pallas(slab)
+            # round, not truncate: above ~4096 cells d^2 is not exactly
+            # representable in f32 and a truncated sqrt can come out one short
             d_local = jnp.where(
-                f_local >= INF_D2, SENT, jnp.sqrt(f_local.astype(jnp.float32)).astype(jnp.int32)
+                f_local >= INF_D2,
+                SENT,
+                jnp.round(jnp.sqrt(f_local.astype(jnp.float32))).astype(jnp.int32),
             )
         else:
             d_local = jnp.minimum(line_distance_to_seed(slab, 0), SENT)
@@ -427,6 +436,10 @@ def signed_field_slabbed(
     import numpy as np
 
     mask = jnp.asarray(filled_mask, bool)
+    if mask.shape[0] % n_slabs != 0:
+        raise ValueError(
+            f"shape[0]={mask.shape[0]} must be divisible by n_slabs={n_slabs}"
+        )
     res = jnp.asarray(resolution, jnp.float32)
     conv = jax.jit(lambda d2, r: d2_to_distance(d2, r))
     out = np.empty(mask.shape, np.float32)

@@ -35,7 +35,8 @@ Array = jax.Array
 class RenderResult(NamedTuple):
     depth: Array  # [...]: hit distance along the ray, t_max where missed
     hit: Array  # [...] bool
-    steps: Array  # [...] int32 iterations used (diagnostics)
+    steps: Array  # [...] int32 march advances taken (coarse + NN + trilinear
+    # phases; bisection refinement excluded) — diagnostics
 
 
 def _trace_depth(
@@ -87,6 +88,7 @@ def _trace_depth(
         return step, d, ok
 
     t0 = jnp.maximum(jnp.full(o.shape[:-1], t_min, o.dtype), t_entry)
+    steps_used = jnp.zeros(t0.shape, jnp.int32)
 
     # ---- coarse empty-space skipping phase -------------------------------
     # A min-pooled SDF level (factor^3 blocks, one-block overlap, minus the
@@ -134,6 +136,7 @@ def _trace_depth(
             can_skip = dc > switch
             step = jnp.maximum(dc, s.resolution)
             t_new = jnp.where(alive & can_skip, t + step, t)
+            steps_used = steps_used + (alive & can_skip).astype(jnp.int32)
             out = (t_new > t_max) | (t_new > t_exit + s.resolution)
             alive = alive & can_skip & ~out
             t = t_new
@@ -176,6 +179,7 @@ def _trace_depth(
             dnn, ok = nn_dist(t)
             near_now = ok & (dnn < 2.0 * s.resolution)
             advance = in_box & ~hit & ~near & ~near_now
+            steps_used = steps_used + advance.astype(jnp.int32)
             step = jnp.maximum(dnn - nn_slack, ms)
             t_new = jnp.where(advance, t + step, t)
             t_prev = jnp.where(advance, t, t_prev)
@@ -189,6 +193,7 @@ def _trace_depth(
         _, d, _ = dist_at(t)
         for _ in range(tri_steps):
             advance = near & in_box & ~hit & (d >= eps)
+            steps_used = steps_used + advance.astype(jnp.int32)
             step = jnp.maximum(d, ms)
             t_new = jnp.where(advance, t + step, t)
             t_prev = jnp.where(advance, t, t_prev)
@@ -214,7 +219,6 @@ def _trace_depth(
     t_refined = jnp.where(hit, hi, t)
 
     depth = jnp.where(hit, t_refined, t_max)
-    steps_used = jnp.zeros(t.shape, jnp.int32)
     return depth, hit, steps_used
 
 
@@ -235,19 +239,19 @@ def sphere_trace_depth(
     depth, hit, steps = _trace_depth(
         values, sdf, origins, directions, t_min, t_max, eps, max_steps, min_step
     )
-    return depth, hit
+    return depth, hit, steps
 
 
 def _std_fwd(values, meta_and_oob, origins, directions, t_min, t_max, eps, max_steps, min_step):
-    depth, hit = sphere_trace_depth(
+    depth, hit, steps = sphere_trace_depth(
         values, meta_and_oob, origins, directions, t_min, t_max, eps, max_steps, min_step
     )
-    return (depth, hit), (values, meta_and_oob, origins, directions, depth, hit)
+    return (depth, hit, steps), (values, meta_and_oob, origins, directions, depth, hit)
 
 
 def _std_bwd(t_min, t_max, eps, max_steps, min_step, residuals, cotangents):
     values, meta_and_oob, origins, directions, depth, hit = residuals
-    g_depth, _ = cotangents  # no gradient through the boolean hit mask
+    g_depth, _, _ = cotangents  # no gradient through hit mask / step counts
     meta, oob = meta_and_oob
     sdf = SdfGrid(values=values, meta=meta, oob_value=oob)
 
@@ -290,7 +294,7 @@ def render_depth(
     Differentiable w.r.t. ``sdf.values``, ``origins`` and ``directions`` via
     the implicit function theorem (missed rays get zero gradient).
     """
-    depth, hit = sphere_trace_depth(
+    depth, hit, steps = sphere_trace_depth(
         sdf.values,
         (sdf.meta, sdf.oob_value),
         jnp.asarray(origins),
@@ -301,7 +305,7 @@ def render_depth(
         max_steps,
         min_step,
     )
-    return RenderResult(depth=depth, hit=hit, steps=jnp.zeros_like(depth, jnp.int32))
+    return RenderResult(depth=depth, hit=hit, steps=steps)
 
 
 def camera_rays(

@@ -183,12 +183,17 @@ def component_surface_mask(labels: Array) -> Array:
 
 def candidate_corner_mask(labels: Array) -> Array:
     """CheckIfCandidateCorner: >=2 of the 6 neighbors differ in component
-    (collision_map.hpp:549-619)."""
+    (collision_map.hpp:549-619). Out-of-grid neighbors are NOT counted as
+    different (the reference only counts neighbors whose GetImmutable
+    succeeds), so grid-border cells need >=2 genuinely different in-bounds
+    neighbors."""
     lab = jnp.asarray(labels).astype(jnp.int32)
+    in_bounds = jnp.ones(lab.shape, bool)
     count = jnp.zeros(lab.shape, jnp.int32)
     for axis, sign in _DIRS6:
         nb = _shift(lab, axis, sign, -1)
-        count = count + (nb != lab).astype(jnp.int32)
+        nb_valid = _shift(in_bounds, axis, sign, False)
+        count = count + (nb_valid & (nb != lab)).astype(jnp.int32)
     return count >= 2
 
 

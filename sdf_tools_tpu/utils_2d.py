@@ -48,5 +48,22 @@ def sdf_to_np(sdf: SdfGrid):
     return np.asarray(sdf.values)[:, :, 0]
 
 
+def gradient_to_np(gradient):
+    """Dense 2D gradient array -> numpy [x, y, 2] (z gradient dropped).
+
+    Mirrors utils_2d.py:83-87; accepts the [nx, ny, 1, 3] array produced by
+    ``query.full_gradient`` (the reference takes a VoxelGrid of gradients).
+    """
+    g = np.asarray(gradient)
+    if g.ndim == 4:  # [nx, ny, nz, 3]
+        g = g[:, :, 0, :]
+    return g[:, :, 0:2]
+
+
+def to_np(sdf: SdfGrid, gradient):
+    """(sdf_to_np(sdf), gradient_to_np(gradient)) — utils_2d.py:79-80."""
+    return sdf_to_np(sdf), gradient_to_np(gradient)
+
+
 def grid_to_np(cmap: CollisionMap):
     return np.asarray(cmap.occupancy)[:, :, 0]

@@ -128,6 +128,58 @@ def convex_segments_display(
     return centers[keep], label_color(seg[keep], alpha)
 
 
+def tagged_occupancy_display(
+    tmap: TaggedCollisionMap,
+    collision_color=(1.0, 0.0, 0.0, 0.5),
+    free_color=(0.0, 1.0, 0.0, 0.0),
+    unknown_color=(1.0, 1.0, 0.0, 0.0),
+) -> Tuple[Array, Array]:
+    """ExportForDisplayOccupancyOnly (tagged_object_collision_map.cpp:1188-
+    1233): cells colored by occupancy class only; alpha-0 classes dropped."""
+    occ = np.asarray(tmap.occupancy).reshape(-1)
+    centers = _cell_centers(tmap.meta)
+    colors = np.zeros((occ.size, 4), np.float32)
+    colors[occ > 0.5] = collision_color
+    colors[occ < 0.5] = free_color
+    colors[occ == 0.5] = unknown_color
+    keep = colors[:, 3] > 0.0
+    return centers[keep], colors[keep]
+
+
+def tagged_components_display(
+    tmap: TaggedCollisionMap,
+    color_unknown_components: bool = False,
+    alpha: float = 1.0,
+) -> Tuple[Array, Array]:
+    """ExportConnectedComponentsForDisplay (tagged,
+    tagged_object_collision_map.cpp:1235-1283): every cell emitted; known
+    cells colored by component, unknown cells gray unless
+    ``color_unknown_components``."""
+    occ = np.asarray(tmap.occupancy).reshape(-1)
+    comp = np.asarray(tmap.component).reshape(-1)
+    centers = _cell_centers(tmap.meta)
+    colors = label_color(comp, alpha)
+    if not color_unknown_components:
+        unknown = occ == 0.5
+        colors[unknown] = (0.5, 0.5, 0.5, 1.0)
+    return centers, colors
+
+
+def convex_segment_display(
+    tmap: TaggedCollisionMap,
+    object_id: int,
+    convex_segment: int,
+    alpha: float = 1.0,
+) -> Tuple[Array, Array]:
+    """ExportConvexSegmentForDisplay (tagged_object_collision_map.cpp:1285-
+    1334): only cells with the requested (object_id, convex_segment)."""
+    obj = np.asarray(tmap.object_id).reshape(-1)
+    seg = np.asarray(tmap.convex_segment).reshape(-1)
+    keep = (obj == np.uint32(object_id)) & (seg == np.uint32(convex_segment))
+    centers = _cell_centers(tmap.meta)
+    return centers[keep], label_color(seg[keep], alpha)
+
+
 def object_contour_display(
     object_sdf: SdfGrid, alpha: float = 1.0
 ) -> Tuple[Array, Array]:

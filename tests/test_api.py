@@ -211,6 +211,53 @@ class TestSerialization:
             )
         assert tm2.convex_segments_valid
 
+    def test_tagged_cell_byte_layout_golden(self):
+        """The serialized TAGGED_OBJECT_COLLISION_CELL must be the raw memcpy
+        of the reference struct: (occupancy f32, component u32, object_id u32,
+        convex_segment u32) — tagged_object_collision_map.hpp:22-43. A
+        round-trip test can't catch a field swap, so check the bytes."""
+        import dataclasses
+        import struct
+
+        from sdf_tools_tpu.grid import GridMeta, TaggedCollisionMap
+
+        meta = GridMeta.create(np.eye(4), 1.0, (1, 1, 1), "world")
+        tm = TaggedCollisionMap.create(
+            np.full((1, 1, 1), 0.75, np.float32),
+            np.full((1, 1, 1), 7, np.uint32),  # object_id
+            meta,
+        )
+        tm = dataclasses.replace(
+            tm,
+            component=np.full((1, 1, 1), 3, np.uint32),
+            convex_segment=np.full((1, 1, 1), 9, np.uint32),
+        )
+        buf = sio.serialize_tagged_map(tm)
+        # header: 1 byte initialized_ + 2x128 bytes Isometry3d + 8 byte count
+        off = 1 + 128 + 128 + 8
+        occupancy, component, object_id, convex_segment = struct.unpack_from(
+            "<fIII", buf, off
+        )
+        assert occupancy == 0.75
+        assert component == 3
+        assert object_id == 7
+        assert convex_segment == 9
+
+    def test_sdf_serializes_default_value_as_oob(self):
+        """Reference SDF ctors set default_value_ == oob_value; the serialized
+        default slot must carry oob, not 0 (sdf.cpp:241-246)."""
+        import struct
+
+        cmap = _demo_cmap()
+        sdf, _ = cmo.extract_sdf(cmap, oob_value=-12345.0)
+        buf = sio.serialize_sdf(sdf)
+        n = int(np.prod(sdf.meta.shape))
+        # 1 + 256 header, 8 count, n*4 data, 9*8 footer doubles, 5*8 int64s
+        off = 1 + 256 + 8 + n * 4 + 9 * 8 + 5 * 8
+        default_value, oob_value = struct.unpack_from("<ff", buf, off)
+        assert default_value == -12345.0
+        assert oob_value == -12345.0
+
 
 class TestNative:
     def test_native_exact_edt_matches_oracle(self):

@@ -187,6 +187,15 @@ def test_signed_field_slabbed_matches_fused(n_slabs):
     np.testing.assert_allclose(slabbed, np.asarray(fused), rtol=1e-6)
 
 
+def test_slabbed_rejects_non_divisible_slab_count():
+    mask = np.zeros((10, 8, 8), bool)
+    mask[0, 0, 0] = True
+    with pytest.raises(ValueError, match="divisible"):
+        list(edt.squared_edt_slabbed(mask, n_slabs=3, backend="stencil"))
+    with pytest.raises(ValueError, match="divisible"):
+        edt.signed_field_slabbed(mask, 0.05, n_slabs=3, backend="stencil")
+
+
 @pytest.mark.parametrize(
     "shape", [(100, 90, 60), (33, 130, 7), (256, 100, 1), (65, 64, 129)]
 )

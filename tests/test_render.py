@@ -70,6 +70,10 @@ def test_render_sphere_depth():
     # corner rays (outside the sphere silhouette at 40 deg fov) miss
     assert not hit[0, 0]
     assert depth[0, 0] == 5.0
+    # steps diagnostics is real: hitting rays report march work
+    steps = np.asarray(result.steps)
+    assert steps[8, 8] > 0
+    assert steps.max() > 0
 
 
 def test_render_depth_pixel_gradients_match_finite_difference():

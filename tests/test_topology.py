@@ -124,6 +124,23 @@ def test_surface_masks():
     assert not corners[2, 3, 3]
 
 
+def test_candidate_corner_ignores_out_of_grid_neighbors():
+    """Reference CheckIfCandidateCorner only counts in-bounds neighbors
+    (collision_map.hpp:549-619): a uniform grid has NO candidate corners,
+    even at grid borders/corners where 2-3 neighbors are out of grid."""
+    lab = np.ones((4, 5, 6), np.int32)
+    corners = np.asarray(topology.candidate_corner_mask(jnp.asarray(lab)))
+    assert not corners.any()
+    # a genuine interior corner still fires on the border: two different
+    # in-bounds neighbors
+    lab2 = np.ones((4, 5, 6), np.int32)
+    lab2[0, 0, 0] = 2
+    lab2[1, 0, 0] = 3
+    lab2[0, 1, 0] = 3
+    c2 = np.asarray(topology.candidate_corner_mask(jnp.asarray(lab2)))
+    assert c2[0, 0, 0]
+
+
 def test_local_extrema_map_sphere():
     n, res = 16, 0.1
     c = (n - 1) / 2.0
