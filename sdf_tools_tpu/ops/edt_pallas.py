@@ -32,6 +32,18 @@ from jax.experimental.pallas import tpu as pltpu
 
 INF_D2 = 1 << 29  # python int: kernels must not capture traced constants
 
+
+def _out_struct(x, shape, dtype):
+    """ShapeDtypeStruct carrying the input's varying-manual-axes type so the
+    kernels compose with shard_map(check_vma=True) (sharded EDT path)."""
+    try:
+        vma = jax.typeof(x).vma
+    except Exception:
+        vma = None
+    if vma:
+        return jax.ShapeDtypeStruct(shape, dtype, vma=vma)
+    return jax.ShapeDtypeStruct(shape, dtype)
+
 # Iterations per quiescence check: checking costs a full-tile reduce, so
 # batch a few relaxation steps between checks.
 _CHECK_EVERY = 8
@@ -47,10 +59,24 @@ def _edge_masks(shape, axis: int, n: int):
     return idx < 1, idx >= n - 1
 
 
+def _pvary_like(x, ref):
+    """Reattach mesh-varying axes lost by primitives (pltpu.roll) when the
+    kernel runs in interpret mode inside shard_map(check_vma=True)."""
+    try:
+        want = jax.typeof(ref).vma
+        have = jax.typeof(x).vma
+    except Exception:
+        return x
+    missing = tuple(a for a in want if a not in have)
+    if missing:
+        x = jax.lax.pvary(x, missing)
+    return x
+
+
 def _roll_shift(d, axis: int, shift: int, n: int, mask):
     """d shifted by `shift` along `axis` with INF fill (no wraparound)."""
     rolled = pltpu.roll(d, shift=shift % n, axis=axis)
-    return jnp.where(mask, INF_D2, rolled)
+    return _pvary_like(jnp.where(mask, INF_D2, rolled), d)
 
 
 def _envelope_kernel(axis: int, n: int, d_ref, out_ref):
@@ -133,7 +159,7 @@ def line_pass_pallas(mask: jax.Array, interpret: bool = False) -> jax.Array:
         grid=grid,
         in_specs=[pl.BlockSpec(block, index_map, memory_space=pltpu.VMEM)],
         out_specs=pl.BlockSpec(block, index_map, memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct(mask.shape, jnp.int32),
+        out_shape=_out_struct(mask, mask.shape, jnp.int32),
         interpret=interpret,
     )(mask.astype(jnp.int32))
 
@@ -190,6 +216,6 @@ def envelope_pass_pallas(f: jax.Array, axis: int, interpret: bool = False) -> ja
         grid=grid,
         in_specs=[pl.BlockSpec(block, index_map, memory_space=pltpu.VMEM)],
         out_specs=pl.BlockSpec(block, index_map, memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct(f.shape, jnp.int32),
+        out_shape=_out_struct(f, f.shape, jnp.int32),
         interpret=interpret,
     )(f)

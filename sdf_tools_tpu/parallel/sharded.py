@@ -117,7 +117,7 @@ def sharded_squared_edt(
     then local envelope passes along y and z — both have their full axis
     extents locally, so no further communication is needed.
     """
-    env = edt._ENVELOPE_BACKENDS[backend]
+    env = edt._ENVELOPE_BACKENDS[edt.resolve_backend(backend)]
     f = _sharded_line_pass_d2(mask_local, axis_name)
     f = env(f, 1)
     f = env(f, 2)
@@ -171,6 +171,10 @@ def sharded_envelope_axis0_halo(
     correctly. Iterates until global quiescence (psum convergence flag).
     """
     n_local = f_local.shape[0]
+    # a halo wider than the shard would slice short and misalign the
+    # interior window; clamp (multi-hop influence still converges because
+    # the outer while_loop keeps iterating until global quiescence)
+    halo = min(halo, n_local)
     n_dev = lax.axis_size(axis_name)
     n_total = n_local * n_dev
 
@@ -199,7 +203,183 @@ def sharded_envelope_axis0_halo(
         any_changed = lax.psum(changed.astype(jnp.int32), axis_name) > 0
         return t + halo, new_d, ~any_changed
 
-    _, d_final, _ = lax.while_loop(
-        cond, body, (jnp.int32(1), f_local, jnp.array(False))
-    )
+    # init flags derived from f_local so their varying-axis types match the
+    # body's data-dependent values under shard_map (multi-axis meshes)
+    done0 = lax.psum(jnp.any(f_local != f_local).astype(jnp.int32), axis_name) > 0
+    t0 = jnp.int32(1) + jnp.zeros((), jnp.int32) * f_local.reshape(-1)[0]
+    _, d_final, _ = lax.while_loop(cond, body, (t0, f_local, done0))
     return d_final
+
+
+# ---------------------------------------------------------------------------
+# 2-D mesh volume sharding: (x, y) tiles (SURVEY §7 "hard parts": measure
+# reshard-between-passes vs halo on multi-axis meshes)
+# ---------------------------------------------------------------------------
+
+
+def _all_to_all_swap(f_local: Array, axis_name: str, split_axis: int, concat_axis: int) -> Array:
+    """all_to_all resharding: split ``split_axis`` over the mesh axis and
+    gather ``concat_axis`` — the volume transpose between envelope passes."""
+    n_dev = lax.axis_size(axis_name)
+    return lax.all_to_all(
+        f_local, axis_name, split_axis=split_axis, concat_axis=concat_axis, tiled=True
+    )
+
+
+def sharded_squared_edt_2d(
+    mask_local: Array,
+    axis_x: str = "x",
+    axis_y: str = "y",
+    backend: str = "stencil",
+    method: str = "reshard",
+) -> Array:
+    """Exact squared EDT of a volume sharded over a 2-D mesh (x, y) tiles.
+
+    mask_local: [nx_loc, ny_loc, nz] — this device's tile; call inside
+    shard_map with in_specs P(axis_x, axis_y).
+
+    Two exact strategies (SURVEY §7 asks to measure both):
+      * ``method="reshard"``: x line pass with boundary summaries over
+        ``axis_x`` (O(surface) comm); z envelope locally (z is unsharded);
+        then ONE ``all_to_all`` over ``axis_y`` swaps the y and z shardings
+        so the y envelope also runs locally. Output tiles are [nx_loc, ny,
+        nz/Py] — resharded back to the input layout with a second
+        ``all_to_all`` so callers see the tiling they provided. Comm:
+        2 x volume/P all_to_all + O(surface).
+      * ``method="halo"``: y envelope runs in place via K-step halo-iterated
+        relaxation over ``axis_y`` (comm scales with iteration count / K);
+        z envelope local; no resharding.
+    """
+    env = edt._ENVELOPE_BACKENDS[edt.resolve_backend(backend)]
+    f = _sharded_line_pass_d2(mask_local, axis_x)
+    if method == "reshard":
+        f = env(f, 2)  # z is fully local on the input tiling
+        f = _all_to_all_swap(f, axis_y, split_axis=2, concat_axis=1)  # [nxl, ny, nzl]
+        f = env(f, 1)  # y now fully local
+        f = _all_to_all_swap(f, axis_y, split_axis=1, concat_axis=2)  # back to input tiling
+        return f
+    elif method == "halo":
+        # move the sharded y axis to position 0 for the halo relaxation
+        fy = jnp.moveaxis(f, 1, 0)
+        fy = sharded_envelope_axis0_halo(fy, axis_y, halo=16)
+        f = jnp.moveaxis(fy, 0, 1)
+        f = env(f, 2)
+        return f
+    raise ValueError(method)
+
+
+def sharded_signed_field_2d(
+    filled_local: Array,
+    resolution,
+    axis_x: str = "x",
+    axis_y: str = "y",
+    backend: str = "stencil",
+    method: str = "reshard",
+) -> Array:
+    d2f = sharded_squared_edt_2d(filled_local, axis_x, axis_y, backend, method)
+    d2e = sharded_squared_edt_2d(~filled_local, axis_x, axis_y, backend, method)
+    return edt.d2_to_distance(d2f, resolution) - edt.d2_to_distance(d2e, resolution)
+
+
+# ---------------------------------------------------------------------------
+# Sharded rendering without the full-volume all_gather (round-2 redesign).
+#
+# Each device sphere-traces ALL rays but only inside its own x-slab: the
+# slab's own AABB gives per-ray entry/exit, a 2-cell halo (differentiable
+# ppermute) makes boundary trilinear queries exact, and a min-composite over
+# the mesh axis picks each ray's first hit. Communication per step is
+# O(rays + halo surface) — never O(volume). Per-device march work is capped
+# by scaling max_steps with 1/n_dev (the in-slab path is that much shorter).
+# ---------------------------------------------------------------------------
+
+
+def exchange_slab_halo(values_local: Array, axis_name: str, width: int) -> Array:
+    """Extend an x-slab with ``width`` cells from each x neighbor.
+
+    Differentiable (ppermute transposes route halo cotangents back to the
+    owning shard). At the global volume ends the halo replicates the edge
+    plane, matching the reference's edge-clamped trilinear interpolation
+    (sdf.hpp:798-833 clamps corner cells at the grid border).
+    """
+    n_dev = lax.axis_size(axis_name)
+    idx = lax.axis_index(axis_name)
+    send_up = [(i, (i + 1) % n_dev) for i in range(n_dev)]
+    send_dn = [(i, (i - 1) % n_dev) for i in range(n_dev)]
+    top = values_local[-width:]
+    bot = values_local[:width]
+    lo_halo = lax.ppermute(top, axis_name, send_up)  # from idx-1
+    hi_halo = lax.ppermute(bot, axis_name, send_dn)  # from idx+1
+    edge_lo = jnp.broadcast_to(values_local[:1], lo_halo.shape)
+    edge_hi = jnp.broadcast_to(values_local[-1:], hi_halo.shape)
+    lo_halo = jnp.where(idx == 0, edge_lo, lo_halo)
+    hi_halo = jnp.where(idx == n_dev - 1, edge_hi, hi_halo)
+    return jnp.concatenate([lo_halo, values_local, hi_halo], axis=0)
+
+
+def sharded_render_depth(
+    values_local: Array,
+    full_meta,
+    oob_value,
+    origins: Array,
+    directions: Array,
+    axis_name: str = "x",
+    halo: int = 2,
+    t_min: float = 0.0,
+    t_max: float = 10.0,
+    eps: float = 1e-3,
+    max_steps: int = 96,
+    min_step=None,
+):
+    """Render depth for all rays over an x-sharded SDF; call inside shard_map.
+
+    values_local: [nx_local, ny, nz] — this shard's slab of the global SDF.
+    Returns (depth, hit) REPLICATED across ``axis_name`` (each ray's value
+    comes from the shard whose slab contains its first surface crossing).
+    """
+    from ..grid import GridMeta, SdfGrid
+    from ..ops import render as render_ops
+
+    n_dev = lax.axis_size(axis_name)
+    idx = lax.axis_index(axis_name)
+    nx_local = values_local.shape[0]
+    res = full_meta.resolution
+
+    ext = exchange_slab_halo(values_local, axis_name, halo)
+
+    # slab meta: origin composed with a translation of (slab start - halo)
+    # cells along the grid frame's own x axis
+    x_off = (idx * nx_local - halo).astype(jnp.float32) * res
+    T = jnp.eye(4, dtype=full_meta.origin_transform.dtype).at[0, 3].set(x_off)
+    slab_transform = full_meta.origin_transform @ T
+    slab_meta = GridMeta.create(
+        slab_transform,
+        res,
+        (nx_local + 2 * halo, values_local.shape[1], values_local.shape[2]),
+        full_meta.frame,
+    )
+    slab_sdf = SdfGrid.create(ext, slab_meta, oob_value)
+
+    local_steps = max(16, max_steps // n_dev)
+    result = render_ops.render_depth(
+        slab_sdf,
+        origins,
+        directions,
+        t_min=t_min,
+        t_max=t_max,
+        eps=eps,
+        max_steps=local_steps,
+        min_step=min_step,
+    )
+    depth_local = jnp.where(result.hit, result.depth, jnp.full_like(result.depth, t_max))
+
+    # min-composite: the first surface crossing along each ray wins. Winner
+    # selection is stop-gradded; cotangents flow to winning shards via psum
+    # (ties share the cotangent equally — same surface, same dt/dvalues).
+    depth_min = lax.pmin(lax.stop_gradient(depth_local), axis_name)
+    win = lax.stop_gradient(depth_local) <= depth_min
+    n_win = lax.psum(win.astype(depth_local.dtype), axis_name)
+    weight = win.astype(depth_local.dtype) / jnp.maximum(n_win, 1.0)
+    depth = lax.psum(weight * depth_local, axis_name)
+    hit = lax.psum(result.hit.astype(jnp.int32), axis_name) > 0
+    depth = jnp.where(hit, depth, jnp.full_like(depth, t_max))
+    return depth, hit
