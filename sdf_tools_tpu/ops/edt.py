@@ -44,8 +44,12 @@ Array = jax.Array
 
 # Sentinel for "no seed reachable": large enough to never be beaten by a real
 # d^2 (max real = 3n^2), small enough that sentinel + 2n^2 fits int32 for any
-# practical n (<= 16384 per axis).
-INF_D2 = jnp.int32(1 << 29)
+# practical n (<= 16384 per axis). Host-side np scalar: a jnp constant here
+# would initialize the XLA backend at import, breaking
+# jax.distributed.initialize (must run before any backend init).
+import numpy as _np
+
+INF_D2 = _np.int32(1 << 29)
 
 
 # ---------------------------------------------------------------------------

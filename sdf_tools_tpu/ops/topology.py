@@ -41,7 +41,9 @@ from . import query
 
 Array = jax.Array
 
-_BIG = jnp.int32(2**30)
+# np scalar, not jnp: a device constant at import time would initialize the
+# XLA backend before jax.distributed.initialize can run (multi-host path)
+_BIG = np.int32(2**30)
 
 _DIRS6 = [
     (0, 1),  # +x
