@@ -40,8 +40,14 @@ rays = [
 ]
 
 
+# surrogate choice: "ft" (feature-routed, default — cotangents land on the
+# actual nearest boundary cells) or "st" (diagonal straight-through)
+SURROGATE = _sys.argv[1] if len(_sys.argv) > 1 else "ft"
+_sdf_fn = diff.sdf_from_occupancy_ft if SURROGATE == "ft" else diff.sdf_from_occupancy_st
+
+
 def forward(occ):
-    values = diff.sdf_from_occupancy_st(occ, jnp.float32(res), "stencil")
+    values = _sdf_fn(occ, jnp.float32(res), "stencil")
     sdf = SdfGrid.create(values, meta, oob_value=1e3)
     outs = [render.render_depth(sdf, o, d, t_max=10.0, max_steps=48) for o, d in rays]
     return [jnp.where(r.hit, r.depth, 10.0) for r in outs]
@@ -78,6 +84,7 @@ def iou(lg):
     return inter / union
 
 
+print(f"surrogate: {SURROGATE}")
 print(f"start: IoU vs target sphere {iou(logits):.3f}")
 for it in range(60):
     logits, loss = step(logits)

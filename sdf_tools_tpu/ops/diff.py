@@ -15,8 +15,13 @@ back to voxel occupancy"):
             and scale of one-cell finite differences near the surface where
             the gradient actually matters.
 
-A sharper (feature-transform-weighted) surrogate is a follow-up; see
-PROGRESS notes.
+``sdf_from_occupancy_ft`` is the sharper feature-transform surrogate: the
+TRUE sensitivity of sdf[i] lives at i's nearest opposite-side cell (remove
+the nearest filled cell and a free cell's distance grows; fill the nearest
+free cell and a filled cell sinks deeper), so the backward routes each
+cell's cotangent to its EDT feature (closest-point map, ops/feature.py)
+with the same -2*resolution slope. The diagonal ST predicts exactly zero
+for these cross terms.
 """
 from __future__ import annotations
 
@@ -49,6 +54,51 @@ def _st_bwd(backend, residuals, g):
 
 
 sdf_from_occupancy_st.defvjp(_st_fwd, _st_bwd)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(2,))
+def sdf_from_occupancy_ft(occupancy, resolution, backend: str = "auto"):
+    """Signed distance values from occupancy; feature-routed backward.
+
+    Forward identical to :func:`sdf_from_occupancy_st`. Backward scatters
+    each cell's cotangent onto its nearest OPPOSITE-side cell (the EDT
+    feature): free cells route to their nearest filled cell, filled cells
+    to their nearest free cell, slope -2*resolution. Exact one-cell finite
+    differences have this off-diagonal structure; the diagonal ST misses it
+    entirely (tests/test_diff.py::test_ft_surrogate_matches_fd_cross_terms).
+    """
+    mask = occupancy > 0.5
+    values, _, _ = edt.signed_field_from_masks(mask, resolution, backend=backend)
+    return values
+
+
+def _ft_fwd(occupancy, resolution, backend):
+    values = sdf_from_occupancy_ft(occupancy, resolution, backend)
+    return values, (occupancy > 0.5, jnp.asarray(resolution))
+
+
+def _ft_bwd(backend, residuals, g):
+    from . import feature
+
+    mask, resolution = residuals
+    nx, ny, nz = mask.shape
+    d2_filled, feat_filled = feature.feature_transform(mask)
+    d2_free, feat_free = feature.feature_transform(~mask)
+    free_cell = ~mask
+    feat = jnp.where(free_cell[..., None], feat_filled, feat_free)
+    valid = jnp.where(free_cell, d2_filled, d2_free) < jnp.int32(edt.INF_D2)
+    flat = (feat[..., 0] * ny + feat[..., 1]) * nz + feat[..., 2]
+    contrib = jnp.where(valid, g * (-2.0 * resolution), 0.0)
+    d_occ = (
+        jnp.zeros(nx * ny * nz, g.dtype)
+        .at[flat.reshape(-1)]
+        .add(contrib.reshape(-1), mode="drop")
+        .reshape(mask.shape)
+    )
+    return d_occ, None
+
+
+sdf_from_occupancy_ft.defvjp(_ft_fwd, _ft_bwd)
 
 
 def straight_through_sdf(forward_fn: Callable, resolution):

@@ -289,7 +289,29 @@ def squared_edt(seed_mask: Array, backend: str = "auto") -> Array:
     Equivalent to the d^2 field of the reference's BuildDistanceField
     (``sdf_generation.hpp:95``) except exact (see module docstring). Values
     >= INF_D2 mean "no seed exists anywhere".
+
+    ``backend="reference"`` is the STRICT-PARITY option: it runs the native
+    re-implementation of the reference's bucket-queue propagation
+    (``sdf_generation.hpp:95-207``; ``native/sdf_native.cpp:136``) on the
+    host and reproduces the reference's outputs bit-for-bit INCLUDING its
+    rare overestimates (docs/NOTES.md §2, quantified in docs/RESULTS.md).
+    Host-offloaded: not jittable, for users who need bit-identical-to-
+    upstream fields.
     """
+    if backend == "reference":
+        import numpy as np
+
+        from .. import native
+
+        mask_np = np.asarray(seed_mask, bool)
+        if mask_np.ndim != 3:
+            raise ValueError(f"expected 3D mask, got shape {mask_np.shape}")
+        d2 = native.edt_reference(mask_np)
+        # the reference leaves unreachable cells at the max-bucket ceiling;
+        # map "no seed anywhere" to our INF sentinel for combine parity
+        if not mask_np.any():
+            return jnp.full(mask_np.shape, INF_D2, jnp.int32)
+        return jnp.asarray(np.minimum(d2, int(INF_D2)).astype(np.int32))
     backend = resolve_backend(backend)
     env = _ENVELOPE_BACKENDS[backend]
     mask = jnp.asarray(seed_mask, bool)

@@ -107,3 +107,81 @@ def test_gradient_flavors_agree_in_smooth_regions():
             np.linalg.norm(a, axis=-1) * np.linalg.norm(b, axis=-1) + 1e-12
         )
         assert (cos > 0.97).all()
+
+
+def test_feature_transform_is_exact_nearest_seed():
+    """feature_transform returns a TRUE argmin: d2 equals the exact EDT and
+    the feature cell is a seed at exactly that distance."""
+    from sdf_tools_tpu.ops import feature
+
+    rng = np.random.default_rng(3)
+    for shape, p in [((12, 10, 8), 0.08), ((6, 16, 6), 0.3), ((9, 7, 11), 0.02)]:
+        mask = rng.random(shape) < p
+        mask[0, 0, 0] = True
+        d2, feat = feature.feature_transform(jnp.asarray(mask))
+        d2 = np.asarray(d2)
+        feat = np.asarray(feat)
+        ref = np.asarray(edt.squared_edt(jnp.asarray(mask), backend="brute"))
+        np.testing.assert_array_equal(d2, ref)
+        ix, iy, iz = np.meshgrid(*[np.arange(s) for s in shape], indexing="ij")
+        fx, fy, fz = feat[..., 0], feat[..., 1], feat[..., 2]
+        assert mask[fx, fy, fz].all(), "feature must point at a seed"
+        dist = (ix - fx) ** 2 + (iy - fy) ** 2 + (iz - fz) ** 2
+        np.testing.assert_array_equal(dist, ref)
+
+
+def test_ft_surrogate_matches_fd_cross_terms():
+    """Near-surface cross sensitivity: flipping cell i's nearest filled cell
+    changes sdf[i]. The exact finite difference is nonzero; the diagonal ST
+    surrogate predicts exactly 0 there; the feature-routed surrogate
+    predicts the right sign and scale (VERDICT round-1 item 7)."""
+    from sdf_tools_tpu.ops import feature
+
+    # scene with a UNIQUE nearest filled cell for the probe (ties would make
+    # a single-cell flip a no-op on the min): one isolated filled cell plus
+    # a far block so both fields are non-degenerate
+    n, res = 12, 0.1
+    occ = np.zeros((n, n, n), np.float32)
+    occ[5, 5, 5] = 1.0
+    occ[0:2, 0:2, 0:2] = 1.0
+    mask = occ > 0.5
+
+    _, feat_filled = feature.feature_transform(jnp.asarray(mask))
+    probe = (8, 5, 5)  # 3 cells from the isolated cell, far from the block
+    assert not mask[probe]
+    j = tuple(int(v) for v in np.asarray(feat_filled)[probe])
+    assert mask[j]
+
+    def sdf_at_probe(o):
+        vals, _, _ = edt.signed_field_from_masks(o > 0.5, res, backend="stencil")
+        return np.asarray(vals)[probe]
+
+    # exact finite difference: flip the feature cell filled -> free
+    occ_flip = occ.copy()
+    occ_flip[j] = 0.0
+    fd_slope = (sdf_at_probe(jnp.asarray(occ_flip)) - sdf_at_probe(jnp.asarray(occ))) / (
+        0.0 - 1.0
+    )
+    assert fd_slope < 0, "removing the nearest filled cell must raise sdf"
+
+    # diagonal ST: gradient w.r.t. occ[j] of a loss reading sdf[probe]
+    def loss_st(o):
+        return diff.sdf_from_occupancy_st(o, jnp.float32(res), "stencil")[probe]
+
+    g_st = np.asarray(jax.grad(loss_st)(jnp.asarray(occ)))[j]
+    assert g_st == 0.0, "diagonal surrogate has no cross terms"
+
+    def loss_ft(o):
+        return diff.sdf_from_occupancy_ft(o, jnp.float32(res), "stencil")[probe]
+
+    g_ft = np.asarray(jax.grad(loss_ft)(jnp.asarray(occ)))[j]
+    assert g_ft < 0, "feature surrogate must carry the cross term"
+    # right order of magnitude (FD slope is a one-cell jump ~ res)
+    assert 0.1 * abs(fd_slope) < abs(g_ft) < 10 * abs(fd_slope)
+
+
+def test_ft_surrogate_forward_matches_st():
+    occ = jnp.zeros((8, 8, 8)).at[2:6, 2:6, 2:6].set(1.0)
+    a = diff.sdf_from_occupancy_st(occ, jnp.float32(0.1), "stencil")
+    b = diff.sdf_from_occupancy_ft(occ, jnp.float32(0.1), "stencil")
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

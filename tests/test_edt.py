@@ -210,6 +210,27 @@ def test_chunked_envelope_kernel_exact():
     assert (out >= int(edt.INF_D2)).all()
 
 
+def test_reference_strict_parity_backend():
+    """backend='reference' reproduces the reference bucket-queue outputs
+    bit-for-bit (including its rare overestimates) via the native lib."""
+    from sdf_tools_tpu import native
+
+    if not native.available():
+        pytest.skip("native toolchain unavailable")
+    rng = np.random.default_rng(31)
+    mask = rng.random((24, 20, 16)) < 0.08
+    mask[0, 0, 0] = True
+    got = np.asarray(edt.squared_edt(jnp.asarray(mask), backend="reference"))
+    want = np.minimum(native.edt_reference(mask), int(edt.INF_D2)).astype(np.int32)
+    np.testing.assert_array_equal(got, want)
+    # only-upward property vs our exact transform
+    exact = np.asarray(edt.squared_edt(jnp.asarray(mask), backend="stencil"))
+    assert (got >= exact).all()
+    # full signed-field path accepts the backend too
+    vals, _, _ = edt.signed_field_from_masks(jnp.asarray(mask), 0.1, backend="reference")
+    assert np.isfinite(np.asarray(vals)).all()
+
+
 def test_slabbed_rejects_non_divisible_slab_count():
     mask = np.zeros((10, 8, 8), bool)
     mask[0, 0, 0] = True
