@@ -42,14 +42,19 @@ def bench_tpu(mask: np.ndarray, repeats: int = 5) -> float:
 
     backend = "pallas" if jax.default_backend() in ("tpu", "axon") else "stencil"
     m = jnp.asarray(mask)
-    f = jax.jit(lambda mm: edt.signed_field_from_masks(mm, 0.05, backend=backend)[0])
-    out = f(m)
-    out.block_until_ready()  # compile
+    # Timing MUST fetch a host scalar derived from the full result:
+    # block_until_ready() through the axon tunnel does not wait for device
+    # completion (measured: 20 chained 512^3 passes "finish" in 0.1 ms, far
+    # below the HBM floor). A jnp.sum reduced on device + float() fetch
+    # forces true completion and adds only ~1 HBM pass.
+    f = jax.jit(
+        lambda mm: jnp.sum(edt.signed_field_from_masks(mm, 0.05, backend=backend)[0])
+    )
+    _ = float(f(m))  # compile + warm
     times = []
     for _ in range(repeats):
         t0 = time.perf_counter()
-        out = f(m)
-        out.block_until_ready()
+        _ = float(f(m))
         times.append(time.perf_counter() - t0)
     return float(np.median(times))
 
@@ -86,21 +91,23 @@ def bench_render(mask: np.ndarray, repeats: int = 3):
         jnp.asarray(cam, jnp.float32), jnp.asarray(center, jnp.float32),
         jnp.asarray([0.0, 0.0, 1.0]), 50.0, h, w,
     )
+    # scalar-fetch timing: see bench_tpu for why block_until_ready is not
+    # sufficient through the axon tunnel
     f = jax.jit(
-        lambda s: render.render_depth(
-            s, origins, dirs, t_max=4.0 * n * res, max_steps=64
-        ).depth
+        lambda s: jnp.mean(
+            render.render_depth(
+                s, origins, dirs, t_max=4.0 * n * res, max_steps=64
+            ).depth
+        )
     )
-    out = f(sdf)
-    out.block_until_ready()
+    mean_depth = float(f(sdf))  # compile + warm
     times = []
     for _ in range(repeats):
         t0 = time.perf_counter()
-        out = f(sdf)
-        out.block_until_ready()
+        mean_depth = float(f(sdf))
         times.append(time.perf_counter() - t0)
     t = float(np.median(times))
-    return h * w / t, t, float(np.asarray(jnp.mean(out)))
+    return h * w / t, t, mean_depth
 
 
 def main():

@@ -172,139 +172,6 @@ def _pick_tile(total: int, target: int) -> int:
     return t
 
 
-# ---------------------------------------------------------------------------
-# Chunk-adaptive envelope kernel (round 2).
-#
-# The full-axis kernel above iterates the WHOLE block until the block's own
-# quiescence, so its iteration count is the block's MAX winner distance —
-# and with blocks spanning the full scan axis that max is near-global (the
-# bench scene: tile D mean 278 vs cell-d mean 89; scripts/bench_dist_profile).
-#
-# This kernel divides the scan axis into chunks with a per-chunk activity
-# bitmask: each iteration relaxes only active chunks by ONE weight step,
-# a chunk goes inactive when its interior stopped changing, and reactivates
-# the iteration after a neighbor chunk changed. One step per iteration is
-# soundness-critical: the halo row each chunk reads is a pre-iteration
-# snapshot, which makes the update Jacobi across chunks — a wave crossing a
-# chunk border arrives exactly one step later, the same as in the
-# monolithic full-array kernel, so the odd-weight schedule stays exact.
-# (A K-step block with frozen halos would stall border crossings by up to
-# K-1 steps; delayed arrival means larger weights, i.e. overestimates.)
-#
-# Work per cell drops from O(max winner distance over the whole tile) to
-# O(active span of its chunk) — bounded by the local distance range, since
-# sqrt(d^2) is 1-Lipschitz along the scanned axes of the current pass.
-# ---------------------------------------------------------------------------
-
-
-def _envelope_kernel_chunked(n: int, Lc: int, d_ref, out_ref, strips, flags):
-    """Chunk-adaptive exact envelope along axis 1 of a block [xt, n, zt].
-
-    strips: VMEM scratch [xt, 2*(NCH-1), zt] — one pre-iteration row per
-    side of every internal chunk boundary. flags: SMEM (NCH,) change bits.
-    """
-    out_ref[:] = d_ref[:]
-    NCH = n // Lc
-    NB = NCH - 1
-    INF = INF_D2
-
-    def cond(state):
-        t, mask = state
-        return jnp.logical_and(mask != 0, t <= n)
-
-    def body(state):
-        t, mask = state
-        cst = 2 * t - 1
-        # pre-iteration snapshot of the boundary rows (Jacobi across chunks)
-        for b in range(NB):
-            r = (b + 1) * Lc
-            strips[:, 2 * b : 2 * b + 2, :] = out_ref[:, r - 1 : r + 1, :]
-        for c in range(NCH):
-            flags[c] = 0
-
-        for c in range(NCH):
-
-            @pl.when((mask >> c) & 1 != 0)
-            def _(c=c):
-                interior = out_ref[:, c * Lc : (c + 1) * Lc, :]
-                if c > 0:
-                    lo = strips[:, 2 * (c - 1) : 2 * (c - 1) + 1, :]
-                else:
-                    lo = jnp.full_like(interior[:, :1, :], INF)
-                if c < NCH - 1:
-                    hi = strips[:, 2 * c + 1 : 2 * c + 2, :]
-                else:
-                    hi = jnp.full_like(interior[:, :1, :], INF)
-                up = jnp.concatenate([lo, interior[:, :-1, :]], axis=1)
-                dn = jnp.concatenate([interior[:, 1:, :], hi], axis=1)
-                new_int = jnp.minimum(interior, jnp.minimum(up, dn) + cst)
-                changed = jnp.any(new_int != interior)
-                out_ref[:, c * Lc : (c + 1) * Lc, :] = new_int
-                flags[c] = changed.astype(jnp.int32)
-
-        new_mask = jnp.int32(0)
-        for c in range(NCH):
-            f = flags[c]
-            if c > 0:
-                f = f | flags[c - 1]
-            if c < NCH - 1:
-                f = f | flags[c + 1]
-            new_mask = new_mask | (f << c)
-        return t + 1, new_mask
-
-    lax.while_loop(cond, body, (jnp.int32(1), jnp.int32((1 << NCH) - 1)))
-
-
-@functools.partial(jax.jit, static_argnames=("axis", "interpret", "chunk"))
-def envelope_pass_pallas_chunked(
-    f: jax.Array,
-    axis: int,
-    interpret: bool = False,
-    chunk: int = 64,
-) -> jax.Array:
-    """Chunk-adaptive exact envelope along ``axis`` (1 or 2) of a 3D int32
-    array. axis=2 transposes y<->z and reuses the sublane-axis kernel (the
-    transpose is HBM-roofline cheap vs the pass itself)."""
-    X, Y, Z = f.shape
-    n = f.shape[axis]
-    if n == 1:
-        return f
-    if axis == 2:
-        out = envelope_pass_pallas_chunked(jnp.swapaxes(f, 1, 2), 1, interpret, chunk)
-        return jnp.swapaxes(out, 1, 2)
-    if axis != 1:
-        raise ValueError("envelope_pass_pallas_chunked supports axis 1 or 2")
-    if Z == 1 and Y > 1:
-        # 2D grids: [X, Y, 1] -> [X, 1, Y] -> axis-2 path (lane layout)
-        out = envelope_pass_pallas_chunked(f.reshape(X, 1, Y), 2, interpret, chunk)
-        return out.reshape(X, Y, 1)
-    while n % chunk != 0 or chunk > n:
-        chunk //= 2
-    if chunk < 8 or n // chunk > 30 or n // chunk < 2:
-        # degenerate chunking (tiny or indivisible axis): full-axis kernel
-        return envelope_pass_pallas(f, axis, interpret=interpret)
-    NCH = n // chunk
-
-    zt = _lane_tile(Z)
-    xt = _pick_tile(X, max(1, _BLOCK_BYTES // (Y * zt * 4)))
-    grid = (X // xt, Z // zt)
-    block = (xt, Y, zt)
-    index_map = lambda i, j: (i, 0, j)
-    kernel = functools.partial(_envelope_kernel_chunked, n, chunk)
-    return pl.pallas_call(
-        kernel,
-        grid=grid,
-        in_specs=[pl.BlockSpec(block, index_map, memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec(block, index_map, memory_space=pltpu.VMEM),
-        out_shape=_out_struct(f, f.shape, jnp.int32),
-        scratch_shapes=[
-            pltpu.VMEM((xt, 2 * (NCH - 1), zt), jnp.int32),
-            pltpu.SMEM((NCH,), jnp.int32),
-        ],
-        interpret=interpret,
-    )(f)
-
-
 def _lane_tile(Z: int) -> int:
     """Lane-dim (minor) block size: a multiple of 128 or the full axis."""
     return 128 if Z % 128 == 0 else Z

@@ -187,29 +187,6 @@ def test_signed_field_slabbed_matches_fused(n_slabs):
     np.testing.assert_allclose(slabbed, np.asarray(fused), rtol=1e-6)
 
 
-def test_chunked_envelope_kernel_exact():
-    """Chunk-adaptive Pallas envelope (round-2 perf kernel) == stencil, both
-    axes, seeds/weighted/all-INF inputs (interpret mode)."""
-    from sdf_tools_tpu.ops import edt_pallas
-
-    rng = np.random.default_rng(21)
-    shape = (4, 128, 128)
-    for p in (0.003, 0.2):
-        f_in = np.where(rng.random(shape) < p, rng.integers(0, 300, shape), int(edt.INF_D2)).astype(np.int32)
-        for axis in (1, 2):
-            out = np.asarray(
-                edt_pallas.envelope_pass_pallas_chunked(
-                    jnp.asarray(f_in), axis, interpret=True
-                )
-            )
-            ref = np.asarray(edt.envelope_pass_stencil(jnp.asarray(f_in), axis))
-            np.testing.assert_array_equal(out, ref)
-    # all-INF stays INF-or-bigger and terminates
-    f_inf = np.full((2, 64, 128), int(edt.INF_D2), np.int32)
-    out = np.asarray(edt_pallas.envelope_pass_pallas_chunked(jnp.asarray(f_inf), 1, interpret=True))
-    assert (out >= int(edt.INF_D2)).all()
-
-
 def test_reference_strict_parity_backend():
     """backend='reference' reproduces the reference bucket-queue outputs
     bit-for-bit (including its rare overestimates) via the native lib."""
