@@ -41,7 +41,7 @@ def make_kernel(variant, iters):
             cp.start()
             cp.wait()
             if variant == "dma":
-                return acc + band[0, 0, 0].astype(jnp.float32)
+                return acc + band[0, 0, 0:128].astype(jnp.float32).reshape(1, 128)
             if variant == "sample9":
                 r = i & 127
                 b = band[:].astype(jnp.float32).reshape(P * BY, BZ)
@@ -72,7 +72,7 @@ def make_kernel(variant, iters):
                 v11 = jnp.sum(jnp.where(sel1, g1, 0.0), axis=0, keepdims=True)
                 F = (v00 * (1 - fy) * (1 - fz) + v01 * (1 - fy) * fz
                      + v10 * fy * (1 - fz) + v11 * fy * fz)
-                return acc + jnp.sum(F)
+                return acc + F
             return acc
 
         def body_ovl(i, acc):
@@ -102,8 +102,9 @@ def make_kernel(variant, iters):
                     vol_ref.at[pl.ds(xb, P), pl.ds(yb, BY), pl.ds(zb, BZ)],
                     band2, sem2).wait()
 
-            v = jnp.where(cur == 0, band[0, 0, 0].astype(jnp.float32),
-                          band2[0, 0, 0].astype(jnp.float32))
+            v = jnp.where(cur == 0,
+                          band[0, 0, 0:128].astype(jnp.float32).reshape(1, 128),
+                          band2[0, 0, 0:128].astype(jnp.float32).reshape(1, 128))
             return acc + v
 
         if variant == "dma_ovl":
@@ -115,7 +116,8 @@ def make_kernel(variant, iters):
             pltpu.make_async_copy(
                 vol_ref.at[pl.ds(xb, P), pl.ds(yb, BY), pl.ds(zb, BZ)],
                 band, sem).start()
-            o_ref[0, 0] = lax.fori_loop(0, iters, body_ovl, jnp.float32(0.0))
+            o_ref[...] = lax.fori_loop(
+                0, iters, body_ovl, jnp.zeros((1, 128), jnp.float32))
             # drain the last started copy
             pack = tab_ref[iters]
             xb = pack // 65536
@@ -135,7 +137,8 @@ def make_kernel(variant, iters):
                     vol_ref.at[pl.ds(xb, P), pl.ds(yb, BY), pl.ds(zb, BZ)],
                     band2, sem2).wait()
         else:
-            o_ref[0, 0] = lax.fori_loop(0, iters, body, jnp.float32(0.0))
+            o_ref[...] = lax.fori_loop(
+                0, iters, body, jnp.zeros((1, 128), jnp.float32))
 
     return kernel
 
@@ -147,14 +150,14 @@ def timed_call(variant, iters, args, reps=6):
     def run(*a):
         out = pl.pallas_call(
             make_kernel(variant, iters),
-            out_shape=jax.ShapeDtypeStruct((1, 1), jnp.float32),
+            out_shape=jax.ShapeDtypeStruct((1, 128), jnp.float32),
             in_specs=[
                 pl.BlockSpec(memory_space=pltpu.SMEM),
                 pl.BlockSpec(memory_space=pltpu.ANY),
                 pl.BlockSpec(memory_space=pltpu.VMEM),
                 pl.BlockSpec(memory_space=pltpu.VMEM),
             ],
-            out_specs=pl.BlockSpec(memory_space=pltpu.SMEM),
+            out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
             scratch_shapes=[
                 pltpu.VMEM((P, BY, BZ), jnp.bfloat16),
                 pltpu.VMEM((P, BY, BZ), jnp.bfloat16),

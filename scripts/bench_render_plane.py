@@ -1,0 +1,135 @@
+#!/usr/bin/env python
+"""Plane-sweep renderer on real TPU at 512^3: validate vs the XLA march,
+then measure rays/s (scalar-fetch timing, docs/NOTES.md SS8).
+
+Usage: python scripts/bench_render_plane.py [n] [h w] [--all-active]
+       [--no-compare]
+"""
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from bench import make_scene
+from sdf_tools_tpu.grid import GridMeta, make_origin_transform
+from sdf_tools_tpu.ops import edt, render, render_plane
+
+
+def main():
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    n = int(args[0]) if len(args) > 0 else 512
+    h = int(args[1]) if len(args) > 1 else 1024
+    w = int(args[2]) if len(args) > 2 else 1024
+    all_active = "--all-active" in sys.argv
+    compare_ref = "--no-compare" not in sys.argv
+    res = 0.05
+    mask = make_scene(n)
+    print(f"scene {n}^3 fill={mask.mean():.3f} rays={h}x{w} "
+          f"all_active={all_active}", flush=True)
+
+    backend = "pallas" if jax.default_backend() in ("tpu", "axon") else "stencil"
+    meta = GridMeta.create(make_origin_transform([0.0, 0.0, 0.0]), res, mask.shape)
+    sdf, _ = edt.extract_signed_distance_field(
+        jnp.asarray(mask), meta, oob_value=1e3, backend=backend
+    )
+    center = np.full(3, 0.5 * n * res)
+    cam = center + np.array([-1.2 * n * res, 0.0, 0.4 * n * res])
+    origins, dirs = render.camera_rays(
+        jnp.asarray(cam, jnp.float32), jnp.asarray(center, jnp.float32),
+        jnp.asarray([0.0, 0.0, 1.0]), 50.0, h, w,
+    )
+    t_max = 4.0 * n * res
+    of = origins.reshape(-1, 3)
+    vf = dirs.reshape(-1, 3)
+
+    def core(values):
+        return render_plane._plane_sweep_core(
+            values, meta.inv_origin_transform, meta.resolution, of, vf,
+            0.0, float(t_max), 1e-3, refine_iters=8,
+            force_all_active=all_active,
+        )
+
+    f_stats = jax.jit(
+        lambda v: tuple(
+            (
+                jnp.sum(r[0]),
+                jnp.sum(r[1]),
+                jnp.sum(r[2]),
+                jnp.sum(r[3]),
+                r[4],
+            )
+            for r in [core(v)]
+        )[0]
+    )
+    print("compiling plane-sweep...", flush=True)
+    t0 = time.perf_counter()
+    out = [float(x) for x in f_stats(sdf.values)]
+    rows = (h * w) // 128
+    print(
+        f"first call {time.perf_counter()-t0:.1f}s sum_depth={out[0]:.2f} "
+        f"hits={out[1]:.0f} steps={out[2]:.0f} unresolved={out[3]:.0f} "
+        f"n_act_total={out[4]:.0f} (avg {out[4]/rows:.2f}/row, "
+        f"{out[2]/(h*w):.1f} samples/ray)",
+        flush=True,
+    )
+
+    times = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        _ = [float(x) for x in f_stats(sdf.values)]
+        times.append(time.perf_counter() - t0)
+    t_ps = float(np.median(times))
+    rays = h * w
+    per_row = (t_ps * 1e6) / rows
+    per_slab = per_row / max(out[4] / rows, 1e-9)
+    print(
+        f"plane-sweep: {t_ps*1e3:.1f} ms/frame -> {rays/t_ps/1e6:.2f} M rays/s"
+        f" ({per_row:.1f} us/row, {per_slab:.2f} us/slab)",
+        flush=True,
+    )
+
+    if not compare_ref:
+        return
+
+    # validation vs the XLA march — separate jits (a single fused program
+    # exceeds the remote-compile request limit)
+    f_ps = jax.jit(lambda v: core(v)[:2])
+    f_ref = jax.jit(
+        lambda v: render.render_depth(
+            sdf, origins, dirs, t_max=t_max, max_steps=64
+        )[:2]
+    )
+    d_ps, h_ps = f_ps(sdf.values)
+    print("compiling XLA march...", flush=True)
+    rd, rh = f_ref(sdf.values)
+    rd = rd.reshape(-1)
+    rh = rh.reshape(-1)
+
+    def cmp_stats(d1, h1, d2, h2):
+        both = h1 & h2
+        err = jnp.where(both, jnp.abs(d1 - d2), 0.0)
+        return (
+            jnp.sum(h1),
+            jnp.sum(h2),
+            jnp.sum(both),
+            jnp.sum(h1 != h2),
+            jnp.sum(err),
+            jnp.max(err),
+        )
+
+    c = [float(x) for x in jax.jit(cmp_stats)(d_ps, h_ps, rd, rh)]
+    nboth = max(c[2], 1.0)
+    print(
+        f"hits ps={c[0]:.0f} ref={c[1]:.0f} both={c[2]:.0f} "
+        f"disagree={c[3]:.0f} ({c[3]/rays*100:.3f}%) "
+        f"depth err mean={c[4]/nboth:.5f} max={c[5]:.4f} (res={res})",
+        flush=True,
+    )
+
+
+if __name__ == "__main__":
+    main()
