@@ -43,14 +43,21 @@ def main():
         jnp.asarray([0.0, 0.0, 1.0]), 50.0, h, w,
     )
     t_max = 4.0 * n * res
-    of = origins.reshape(-1, 3)
-    vf = dirs.reshape(-1, 3)
+    perm, _ = render_plane.tile_perm(h, w, h * w)
+    of = origins.reshape(-1, 3)[perm]
+    vf = dirs.reshape(-1, 3)[perm]
+
+    import os
+
+    ri = int(os.environ.get("PS_REFINE_ITERS", "6"))
+    db = os.environ.get("PS_DOUBLE_BUFFER", "1") == "1"
+    print(f"refine_iters={ri} double_buffer={db}", flush=True)
 
     def core(values):
         return render_plane._plane_sweep_core(
             values, meta.inv_origin_transform, meta.resolution, of, vf,
-            0.0, float(t_max), 1e-3, refine_iters=8,
-            force_all_active=all_active,
+            0.0, float(t_max), 1e-3, refine_iters=ri,
+            force_all_active=all_active, double_buffer=db,
         )
 
     f_stats = jax.jit(
@@ -98,16 +105,20 @@ def main():
     # validation vs the XLA march — separate jits (a single fused program
     # exceeds the remote-compile request limit)
     f_ps = jax.jit(lambda v: core(v)[:2])
+    from sdf_tools_tpu.grid import SdfGrid
+
     f_ref = jax.jit(
-        lambda v: render.render_depth(
-            sdf, origins, dirs, t_max=t_max, max_steps=64
+        lambda v, o, d: render.render_depth(
+            SdfGrid(values=v, meta=sdf.meta, oob_value=sdf.oob_value),
+            o, d, t_max=t_max, max_steps=64, backend="march",
         )[:2]
     )
     d_ps, h_ps = f_ps(sdf.values)
     print("compiling XLA march...", flush=True)
-    rd, rh = f_ref(sdf.values)
-    rd = rd.reshape(-1)
-    rh = rh.reshape(-1)
+    rd, rh = f_ref(sdf.values, origins, dirs)
+    permj = jnp.asarray(perm)
+    rd = rd.reshape(-1)[permj]  # match the tile ordering of the ps outputs
+    rh = rh.reshape(-1)[permj]
 
     def cmp_stats(d1, h1, d2, h2):
         both = h1 & h2

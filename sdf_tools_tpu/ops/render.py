@@ -222,7 +222,25 @@ def _trace_depth(
     return depth, hit, steps_used
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8))
+def _resolve_backend(backend: str, shape, n_rays: int) -> str:
+    """'auto' -> 'plane' (plane-sweep Pallas kernel, ops/render_plane.py)
+    on TPU-class backends for supported grids and non-trivial ray counts,
+    else the XLA 'march'."""
+    if backend != "auto":
+        return backend
+    from . import render_plane
+
+    on_tpu = jax.default_backend() in ("tpu", "axon")
+    if (
+        on_tpu
+        and render_plane.plane_sweep_supported(shape)
+        and n_rays >= 4 * render_plane.LANES
+    ):
+        return "plane"
+    return "march"
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8, 9))
 def sphere_trace_depth(
     values: Array,
     meta_and_oob,
@@ -233,23 +251,36 @@ def sphere_trace_depth(
     eps: float,
     max_steps: int,
     min_step: float,
+    backend: str = "march",
 ):
     meta, oob = meta_and_oob
     sdf = SdfGrid(values=values, meta=meta, oob_value=oob)
-    depth, hit, steps = _trace_depth(
-        values, sdf, origins, directions, t_min, t_max, eps, max_steps, min_step
+    resolved = _resolve_backend(
+        backend, values.shape, origins.size // 3
     )
+    if resolved == "plane":
+        from . import render_plane
+
+        depth, hit, steps = render_plane.plane_sweep_depth(
+            values, meta, oob, origins, directions,
+            t_min, t_max, eps, max_steps, min_step,
+        )
+    else:
+        depth, hit, steps = _trace_depth(
+            values, sdf, origins, directions, t_min, t_max, eps, max_steps,
+            min_step,
+        )
     return depth, hit, steps
 
 
-def _std_fwd(values, meta_and_oob, origins, directions, t_min, t_max, eps, max_steps, min_step):
+def _std_fwd(values, meta_and_oob, origins, directions, t_min, t_max, eps, max_steps, min_step, backend="march"):
     depth, hit, steps = sphere_trace_depth(
-        values, meta_and_oob, origins, directions, t_min, t_max, eps, max_steps, min_step
+        values, meta_and_oob, origins, directions, t_min, t_max, eps, max_steps, min_step, backend
     )
     return (depth, hit, steps), (values, meta_and_oob, origins, directions, depth, hit)
 
 
-def _std_bwd(t_min, t_max, eps, max_steps, min_step, residuals, cotangents):
+def _std_bwd(t_min, t_max, eps, max_steps, min_step, backend, residuals, cotangents):
     values, meta_and_oob, origins, directions, depth, hit = residuals
     g_depth, _, _ = cotangents  # no gradient through hit mask / step counts
     meta, oob = meta_and_oob
@@ -288,11 +319,16 @@ def render_depth(
     eps: float = 1e-3,
     max_steps: int = 96,
     min_step: float | None = None,
+    backend: str = "auto",
 ) -> RenderResult:
     """Sphere-trace depth for rays (origins, directions) -> RenderResult.
 
     Differentiable w.r.t. ``sdf.values``, ``origins`` and ``directions`` via
     the implicit function theorem (missed rays get zero gradient).
+
+    backend: "auto" (plane-sweep Pallas kernel on TPU for supported grids,
+    XLA march otherwise), "plane", or "march". Both forwards share the
+    same hit semantics and the same IFT backward.
     """
     depth, hit, steps = sphere_trace_depth(
         sdf.values,
@@ -304,6 +340,7 @@ def render_depth(
         eps,
         max_steps,
         min_step,
+        backend,
     )
     return RenderResult(depth=depth, hit=hit, steps=steps)
 

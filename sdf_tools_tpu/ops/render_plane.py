@@ -47,7 +47,7 @@ Array = jax.Array
 LANES = 128  # rays per row
 SLAB = 8  # planes per slab
 PB = SLAB + 1  # planes per band (pair p needs planes p and p+1)
-BY = 32  # band y extent (cells)
+BY = 40  # band y extent (cells; multiple of 8)
 BZ = 256  # band z extent (cells)
 HDR = 8  # header ints per row: [n_active, axis, nx, ny, nz, 0, 0, 0]
 BIGF = 1e30
@@ -102,7 +102,7 @@ def _corner_gather(band_v, ry, rz):
     return v00, v01, v10, v11
 
 
-def _make_kernel(eps: float, t_max: float, smax: int, refine_iters: int):
+def _make_kernel(eps: float, t_max: float, smax: int, refine_iters: int, double_buffer: bool = True):
     def kernel(
         tab_ref,
         ch_ref,
@@ -113,7 +113,9 @@ def _make_kernel(eps: float, t_max: float, smax: int, refine_iters: int):
         hit_ref,
         steps_ref,
         band,
+        band2,
         sem,
+        sem2,
     ):
         n_act = tab_ref[0, 0, 0]
         axis = tab_ref[0, 0, 1]
@@ -143,43 +145,63 @@ def _make_kernel(eps: float, t_max: float, smax: int, refine_iters: int):
         def corr(v):
             return jnp.where(v >= 0.0, v - half, v + half)
 
-        def slab_body(s, state):
-            depth, hitm, steps, sampled = state
-            pack = tab_ref[0, 0, HDR + s]
+        def unpack(pack):
             zb = lax.rem(pack, 32) * 128
             yb = lax.rem(pack // 32, 256) * 8
             slab = pack // (32 * 256)
             xb = jnp.minimum(slab * SLAB, nx - PB)
+            return slab, xb, yb, zb
 
-            @pl.when(axis == 0)
-            def _():
-                cp = pltpu.make_async_copy(
-                    vol0_ref.at[pl.ds(xb, PB), pl.ds(yb, BY), pl.ds(zb, BZ)],
-                    band,
-                    sem,
-                )
-                cp.start()
-                cp.wait()
+        def dma(buf, sem_, xb, yb, zb, do_start, do_wait):
+            for a, vol in ((0, vol0_ref), (1, vol1_ref), (2, vol2_ref)):
 
-            @pl.when(axis == 1)
-            def _():
-                cp = pltpu.make_async_copy(
-                    vol1_ref.at[pl.ds(xb, PB), pl.ds(yb, BY), pl.ds(zb, BZ)],
-                    band,
-                    sem,
-                )
-                cp.start()
-                cp.wait()
+                @pl.when(axis == a)
+                def _(vol=vol):
+                    cp = pltpu.make_async_copy(
+                        vol.at[pl.ds(xb, PB), pl.ds(yb, BY), pl.ds(zb, BZ)],
+                        buf,
+                        sem_,
+                    )
+                    if do_start:
+                        cp.start()
+                    if do_wait:
+                        cp.wait()
 
-            @pl.when(axis == 2)
+        if double_buffer:
+            # prologue: start slab 0 into band A
+            @pl.when(n_act > 0)
             def _():
-                cp = pltpu.make_async_copy(
-                    vol2_ref.at[pl.ds(xb, PB), pl.ds(yb, BY), pl.ds(zb, BZ)],
-                    band,
-                    sem,
-                )
-                cp.start()
-                cp.wait()
+                _, xb0, yb0, zb0 = unpack(tab_ref[0, 0, HDR])
+                dma(band, sem, xb0, yb0, zb0, True, False)
+
+        def slab_body(s, state):
+            depth, hitm, steps, sampled = state
+            slab, xb, yb, zb = unpack(tab_ref[0, 0, HDR + s])
+            if double_buffer:
+                parity = lax.rem(s, 2)
+
+                # kick off the NEXT slab's copy, then wait ours
+                s_next = jnp.minimum(s + 1, n_act - 1)
+                _, xbn, ybn, zbn = unpack(tab_ref[0, 0, HDR + s_next])
+                have_next = s + 1 < n_act
+
+                @pl.when(jnp.logical_and(parity == 0, have_next))
+                def _():
+                    dma(band2, sem2, xbn, ybn, zbn, True, False)
+
+                @pl.when(jnp.logical_and(parity == 1, have_next))
+                def _():
+                    dma(band, sem, xbn, ybn, zbn, True, False)
+
+                @pl.when(parity == 0)
+                def _():
+                    dma(band, sem, xb, yb, zb, False, True)
+
+                @pl.when(parity == 1)
+                def _():
+                    dma(band2, sem2, xb, yb, zb, False, True)
+            else:
+                dma(band, sem, xb, yb, zb, True, True)
 
             # ---- main pass: sample the 9 plane crossings -----------------
             gx = xb + p_io9  # (9,128) global plane index
@@ -211,7 +233,10 @@ def _make_kernel(eps: float, t_max: float, smax: int, refine_iters: int):
             ry = jnp.clip(ryb, 0, BY - 2)
             rz = jnp.clip(rzb, 0, BZ - 2)
 
-            band_v = band[...]
+            if double_buffer:
+                band_v = jnp.where(parity == 0, band[...], band2[...])
+            else:
+                band_v = band[...]
             v00, v01, v10, v11 = _corner_gather(band_v, ry, rz)
             c00, c01, c10, c11 = corr(v00), corr(v01), corr(v10), corr(v11)
             d9 = (
@@ -332,16 +357,36 @@ def _make_kernel(eps: float, t_max: float, smax: int, refine_iters: int):
                         fB, lyB, lzB
                     )
 
+                # dhat1 is EXACTLY cubic in t (bilinear in two linear-in-t
+                # coords times a linear x-weight): fit it from 4 parallel
+                # evaluations, then bisect on a 3-fma Horner evaluation —
+                # the sequential refine chain is latency-bound, so cheap
+                # per-iteration ops matter more than anything
+                span = hi - lo
+                d0 = dhat1(lo)
+                d1 = dhat1(lo + span * (1.0 / 3.0))
+                d2 = dhat1(lo + span * (2.0 / 3.0))
+                d3 = dhat1(hi)
+                # cubic through (u=0,1,2,3) -> coefficients in u
+                c0 = d0
+                c1 = (-11 * d0 + 18 * d1 - 9 * d2 + 2 * d3) / 6.0
+                c2 = (2 * d0 - 5 * d1 + 4 * d2 - d3) / 2.0
+                c3 = (-d0 + 3 * d1 - 3 * d2 + d3) / 6.0
+                inv_h = jnp.where(span > 0, 3.0 / jnp.maximum(span, 1e-20), 0.0)
+
                 def refine(_, lohi):
                     lo_, hi_ = lohi
                     tm = 0.5 * (lo_ + hi_)
-                    below = dhat1(tm) < eps
+                    u = (tm - lo) * inv_h
+                    dm = c0 + u * (c1 + u * (c2 + u * c3))
+                    below = dm < eps
                     return (
                         jnp.where(below, lo_, tm),
                         jnp.where(below, tm, hi_),
                     )
 
-                lo, hi = lax.fori_loop(0, refine_iters, refine, (lo, hi))
+                lo2, hi2 = lax.fori_loop(0, refine_iters, refine, (lo, hi))
+                hi = hi2
             t_hit = hi
 
             # immediate hit: first-ever valid sample already inside eps
@@ -535,6 +580,7 @@ def _row_tables(meta_shape_by_axis, supported, u0, vg, t_start, t_end, res, smax
         "refine_iters",
         "interpret",
         "force_all_active",
+        "double_buffer",
     ),
 )
 def _plane_sweep_core(
@@ -549,6 +595,7 @@ def _plane_sweep_core(
     refine_iters: int = 8,
     interpret: bool = False,
     force_all_active: bool = False,
+    double_buffer: bool = True,
 ):
     """Plane-sweep depth for padded rays (N % 128 == 0). Returns
     (depth (N,), hit (N,) bool, steps (N,) i32, unresolved (N,) bool)."""
@@ -604,13 +651,22 @@ def _plane_sweep_core(
     )
 
     # ---- near-surface coarse activity ------------------------------------
+    # two indicators packed into one coarse int32 so a single SAT serves
+    # both: bit 0 = any |v| < 1.5res in the 8^3 block (a crossing sample's
+    # corner cell must be such a cell), bit 13 = any v < 1.5res (obstacle
+    # interior; gates entry-slab activation for rays starting inside)
     near = (jnp.abs(values) < 1.5 * res).astype(jnp.int32)
+    interior = (values < 1.5 * res).astype(jnp.int32)
     cs = tuple((s + SLAB - 1) // SLAB for s in nxyz)
     pad = [(0, cs[i] * SLAB - nxyz[i]) for i in range(3)]
-    nearp = jnp.pad(near, pad)
-    coarse = jnp.max(
-        nearp.reshape(cs[0], SLAB, cs[1], SLAB, cs[2], SLAB), axis=(1, 3, 5)
-    )
+
+    def coarse_any(x):
+        xp = jnp.pad(x, pad)
+        return jnp.max(
+            xp.reshape(cs[0], SLAB, cs[1], SLAB, cs[2], SLAB), axis=(1, 3, 5)
+        )
+
+    coarse = coarse_any(near) + 8192 * coarse_any(interior)
     # summed-area tables per coarse x-layer: exact per-(row, slab) box query
     # (a global-cap dilation over-activates badly — measured 10x waste)
     sat_maps = []
@@ -631,6 +687,7 @@ def _plane_sweep_core(
     z0c8 = jnp.clip(info["rlo_z"] // SLAB, 0, None)
     z1c8 = jnp.clip(info["rhi_z"] // SLAB, 0, None)
     near_act = jnp.zeros(y0c8.shape, bool)
+    interior_act = jnp.zeros(y0c8.shape, bool)
     for a in range(3):
         if sat_maps[a] is None:
             continue
@@ -647,7 +704,9 @@ def _plane_sweep_core(
             return flat[(sc * cya + yy) * cza + zz]
 
         count = q(yhi, zhi) - q(ylo, zhi) - q(yhi, zlo) + q(ylo, zlo)
-        near_act = jnp.where(info["axis_r"][:, None] == a, count > 0, near_act)
+        on_axis = info["axis_r"][:, None] == a
+        near_act = jnp.where(on_axis, lax.rem(count, 8192) > 0, near_act)
+        interior_act = jnp.where(on_axis, count // 8192 > 0, interior_act)
 
     # entry slabs are force-activated (rays starting inside an obstacle
     # must produce their immediate hit even in "far" slabs)
@@ -659,11 +718,16 @@ def _plane_sweep_core(
         :, :, None
     ].astype(jnp.int32)
     entry_act = jnp.sum(se_oh, axis=1) > 0
-    entry_act = (
-        entry_act
-        | jnp.pad(entry_act[:, 1:], ((0, 0), (0, 1)))
-        | jnp.pad(entry_act[:, :-1], ((0, 0), (1, 0)))
+    # the first sampled plane may fall in the NEXT slab along the marching
+    # direction; the opposite neighbor can never contain it
+    fwd = jnp.where(
+        info["dir_row"][:, None],
+        jnp.pad(entry_act[:, :-1], ((0, 0), (1, 0))),
+        jnp.pad(entry_act[:, 1:], ((0, 0), (0, 1))),
     )
+    # entry slabs only matter for immediate hits (ray starting inside an
+    # obstacle); a box with no interior cells cannot produce one
+    entry_act = (entry_act | fwd) & interior_act
 
     if force_all_active:
         near_act = jnp.ones_like(near_act)
@@ -729,7 +793,7 @@ def _plane_sweep_core(
         else:
             vols.append(jnp.zeros((PB, BY, BZ), values.dtype))
 
-    kernel = _make_kernel(eps, t_max, smax, refine_iters)
+    kernel = _make_kernel(eps, t_max, smax, refine_iters, double_buffer)
     depth, hitm, steps = pl.pallas_call(
         kernel,
         grid=(R,),
@@ -754,6 +818,8 @@ def _plane_sweep_core(
         ],
         scratch_shapes=[
             pltpu.VMEM((PB, BY, BZ), jnp.float32),
+            pltpu.VMEM((PB, BY, BZ), jnp.float32),
+            pltpu.SemaphoreType.DMA,
             pltpu.SemaphoreType.DMA,
         ],
         interpret=interpret,
@@ -775,6 +841,23 @@ def _plane_sweep_core(
         unresolved,
         jnp.sum(n_act),
     )
+
+
+def tile_perm(h: int, w: int, n_rays: int, th: int = 8, tw: int = 16):
+    """Ray permutation regrouping an (h, w) image into th x tw pixel tiles
+    (tile size th*tw == LANES), plus its inverse. n_rays may cover several
+    stacked images of h*w rays each."""
+    import numpy as _np
+
+    base = (
+        _np.arange(h * w)
+        .reshape(h // th, th, w // tw, tw)
+        .transpose(0, 2, 1, 3)
+        .reshape(-1)
+    )
+    nimg = n_rays // (h * w)
+    perm = (base[None, :] + (_np.arange(nimg) * h * w)[:, None]).reshape(-1)
+    return perm, _np.argsort(perm)
 
 
 def plane_sweep_supported(shape: Tuple[int, int, int]) -> bool:
@@ -799,9 +882,16 @@ def plane_sweep_depth(
     min_step,
     refine_iters: int = 8,
     interpret: bool = False,
-) -> Tuple[Array, Array, Array]:
+    diag: bool = False,
+):
     """Plane-sweep forward trace with XLA-march fallback for unresolved
-    rays. Same contract as ops.render._trace_depth (depth, hit, steps)."""
+    rays. Same contract as ops.render._trace_depth (depth, hit, steps);
+    with diag=True also returns {"unresolved": count, "n_act": total}.
+
+    2-D ray grids (h, w, 3) are regrouped into 16x8-pixel tiles: a 1x128
+    scanline diverges to ~180-cell y footprints at 512^3 (band overflow ->
+    everything falls back), while a tile's extent shrinks by ~sqrt(aspect)
+    and fits the band with margin."""
     from . import render as _render
     from ..grid import SdfGrid
 
@@ -811,6 +901,16 @@ def plane_sweep_depth(
     of = o.reshape(-1, 3)
     vf = v.reshape(-1, 3)
     N = of.shape[0]
+
+    # tile regrouping for image-shaped bundles
+    perm = inv_perm = None
+    if len(batch_shape) >= 2:
+        h, w = batch_shape[-2], batch_shape[-1]
+        TH, TW = 8, 16
+        if h % TH == 0 and w % TW == 0:
+            perm, inv_perm = tile_perm(h, w, N)
+            of = of[perm]
+            vf = vf[perm]
     Np = ((N + LANES - 1) // LANES) * LANES
     if Np != N:
         pado = jnp.broadcast_to(
@@ -822,7 +922,7 @@ def plane_sweep_depth(
         of = jnp.concatenate([of, pado], axis=0)
         vf = jnp.concatenate([vf, padv], axis=0)
 
-    depth, hit, steps, unresolved, _ = _plane_sweep_core(
+    depth, hit, steps, unresolved, n_act_total = _plane_sweep_core(
         values,
         meta.inv_origin_transform,
         meta.resolution,
@@ -856,8 +956,17 @@ def plane_sweep_depth(
     hit = jnp.where(unresolved, fb_h, hit)
     steps = jnp.where(unresolved, fb_s, steps)
 
-    return (
+    if inv_perm is not None:
+        depth = depth[:N][inv_perm]
+        hit = hit[:N][inv_perm]
+        steps = steps[:N][inv_perm]
+    out = (
         depth[:N].reshape(batch_shape),
         hit[:N].reshape(batch_shape),
         steps[:N].reshape(batch_shape),
     )
+    if diag:
+        return out + (
+            {"unresolved": jnp.sum(unresolved), "n_act": n_act_total},
+        )
+    return out

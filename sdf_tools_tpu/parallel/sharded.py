@@ -369,6 +369,9 @@ def sharded_render_depth(
         eps=eps,
         max_steps=local_steps,
         min_step=min_step,
+        # the plane-sweep kernel is not exercised under shard_map yet;
+        # keep the slab segments on the XLA march explicitly
+        backend="march",
     )
     depth_local = jnp.where(result.hit, result.depth, jnp.full_like(result.depth, t_max))
 

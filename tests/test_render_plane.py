@@ -52,17 +52,25 @@ def scene():
     return _sphere_scene()
 
 
-def _run_both(sdf, origins, dirs, t_max=40.0, eps=1e-3):
+def _run_both(sdf, origins, dirs, t_max=40.0, eps=1e-3, expect_resolved=True):
     d_ref, h_ref, _ = render._trace_depth(
         sdf.values, sdf, origins.reshape(-1, 3), dirs.reshape(-1, 3),
         0.0, t_max, eps, 96, None,
     )
-    d_ps, h_ps, s_ps = render_plane.plane_sweep_depth(
+    d_ps, h_ps, s_ps, diag = render_plane.plane_sweep_depth(
         sdf.values, sdf.meta, sdf.oob_value,
-        origins.reshape(-1, 3), dirs.reshape(-1, 3),
-        0.0, t_max, eps, 96, None, interpret=True,
+        origins, dirs,  # keep (h, w, 3): engages tile regrouping
+        0.0, t_max, eps, 96, None, interpret=True, diag=True,
     )
-    return map(np.asarray, (d_ref, h_ref, d_ps, h_ps, s_ps))
+    if expect_resolved:
+        # the kernel must actually run (fallback would make the
+        # agreement checks vacuous)
+        assert int(diag["unresolved"]) == 0, int(diag["unresolved"])
+        assert int(diag["n_act"]) > 0
+    return map(
+        np.asarray,
+        (d_ref, h_ref, d_ps.reshape(-1), h_ps.reshape(-1), s_ps.reshape(-1)),
+    )
 
 
 def test_plane_sweep_matches_march(scene):
