@@ -222,10 +222,12 @@ def _trace_depth(
     return depth, hit, steps_used
 
 
-def _resolve_backend(backend: str, shape, n_rays: int) -> str:
+def _resolve_backend(backend: str, shape, origins: Array) -> str:
     """'auto' -> 'plane' (plane-sweep Pallas kernel, ops/render_plane.py)
-    on TPU-class backends for supported grids and non-trivial ray counts,
-    else the XLA 'march'."""
+    on TPU-class backends for supported grids and image-shaped ray bundles
+    (2-D batches get 16x8 tile regrouping; flat lists have no coherence
+    guarantee and would churn through the fallback), else the XLA
+    'march'. Explicit 'plane' works for any ray layout."""
     if backend != "auto":
         return backend
     from . import render_plane
@@ -234,7 +236,8 @@ def _resolve_backend(backend: str, shape, n_rays: int) -> str:
     if (
         on_tpu
         and render_plane.plane_sweep_supported(shape)
-        and n_rays >= 4 * render_plane.LANES
+        and origins.ndim >= 3
+        and origins.size // 3 >= 4 * render_plane.LANES
     ):
         return "plane"
     return "march"
@@ -255,9 +258,7 @@ def sphere_trace_depth(
 ):
     meta, oob = meta_and_oob
     sdf = SdfGrid(values=values, meta=meta, oob_value=oob)
-    resolved = _resolve_backend(
-        backend, values.shape, origins.size // 3
-    )
+    resolved = _resolve_backend(backend, values.shape, origins)
     if resolved == "plane":
         from . import render_plane
 

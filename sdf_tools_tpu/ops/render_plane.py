@@ -8,9 +8,9 @@ vectorized sampling:
     construction). Each row marches its dominant axis plane-by-plane over
     a volume transposed so that axis is major.
   * The marching axis is cut into slabs of 8 planes. One slab's samples
-    for a whole row live in a (9, 32, 256) f32 VMEM band fetched with ONE
-    dynamic-offset DMA (~0.7 us measured) instead of ~1000 scattered
-    gathers.
+    for a whole row live in a (9, 40, 256) f32 VMEM band fetched with ONE
+    dynamic-offset DMA (~0.7 us measured, double-buffered across slabs)
+    instead of ~1000 scattered gathers.
   * Sampling the 9 plane crossings of all 128 rays is ONE vectorized
     bilinear: the x coordinate of a crossing sits exactly at cell-center
     planes, so the reference's center-corrected trilinear
@@ -45,9 +45,11 @@ from jax.experimental.pallas import tpu as pltpu
 Array = jax.Array
 
 LANES = 128  # rays per row
-SLAB = 8  # planes per slab
+SLAB = 16  # planes per slab (larger slabs amortize per-slab overheads,
+# which ablations show dominate per-slab arithmetic)
 PB = SLAB + 1  # planes per band (pair p needs planes p and p+1)
-BY = 40  # band y extent (cells; multiple of 8)
+BY = 56  # band y extent (cells; multiple of 8; covers tile footprint
+# (~22 cells) + slope*SLAB drift + corner pair after 8-alignment waste)
 BZ = 256  # band z extent (cells)
 HDR = 8  # header ints per row: [n_active, axis, nx, ny, nz, 0, 0, 0]
 BIGF = 1e30
@@ -102,7 +104,7 @@ def _corner_gather(band_v, ry, rz):
     return v00, v01, v10, v11
 
 
-def _make_kernel(eps: float, t_max: float, smax: int, refine_iters: int, double_buffer: bool = True):
+def _make_kernel(eps: float, t_max: float, smax: int, refine_iters: int, double_buffer: bool = True, early_exit: bool = True):
     def kernel(
         tab_ref,
         ch_ref,
@@ -418,7 +420,38 @@ def _make_kernel(eps: float, t_max: float, smax: int, refine_iters: int, double_
             jnp.zeros((1, LANES), jnp.int32),
             jnp.zeros((1, LANES), jnp.int32),
         )
-        depth, hitm, steps, _ = lax.fori_loop(0, n_act, slab_body, init)
+        if early_exit:
+            # stop once every ray in the row has hit: the vector->scalar
+            # reduction costs ~2 us but a skipped slab saves ~6 us, and
+            # tiles over an object's interior hit within 1-2 slabs
+            def cond(st):
+                s, (_, hitm, _, _) = st
+                return jnp.logical_and(s < n_act, jnp.any(hitm == 0))
+
+            def body(st):
+                s, state = st
+                return s + 1, slab_body(s, state)
+
+            s_end, (depth, hitm, steps, _) = lax.while_loop(
+                cond, body, (jnp.int32(0), init)
+            )
+            if double_buffer:
+                # drain the prefetched copy left in flight by an early exit
+                @pl.when(s_end < n_act)
+                def _():
+                    _, xb_d, yb_d, zb_d = unpack(tab_ref[0, 0, HDR + s_end])
+                    par = lax.rem(s_end, 2)
+
+                    @pl.when(par == 0)
+                    def _():
+                        dma(band, sem, xb_d, yb_d, zb_d, False, True)
+
+                    @pl.when(par == 1)
+                    def _():
+                        dma(band2, sem2, xb_d, yb_d, zb_d, False, True)
+
+        else:
+            depth, hitm, steps, _ = lax.fori_loop(0, n_act, slab_body, init)
         depth_ref[...] = depth.reshape(1, 1, LANES)
         hit_ref[...] = hitm.reshape(1, 1, LANES)
         steps_ref[...] = steps.reshape(1, 1, LANES)
@@ -581,6 +614,7 @@ def _row_tables(meta_shape_by_axis, supported, u0, vg, t_start, t_end, res, smax
         "interpret",
         "force_all_active",
         "double_buffer",
+        "early_exit",
     ),
 )
 def _plane_sweep_core(
@@ -596,6 +630,7 @@ def _plane_sweep_core(
     interpret: bool = False,
     force_all_active: bool = False,
     double_buffer: bool = True,
+    early_exit: bool = True,
 ):
     """Plane-sweep depth for padded rays (N % 128 == 0). Returns
     (depth (N,), hit (N,) bool, steps (N,) i32, unresolved (N,) bool)."""
@@ -793,7 +828,7 @@ def _plane_sweep_core(
         else:
             vols.append(jnp.zeros((PB, BY, BZ), values.dtype))
 
-    kernel = _make_kernel(eps, t_max, smax, refine_iters, double_buffer)
+    kernel = _make_kernel(eps, t_max, smax, refine_iters, double_buffer, early_exit)
     depth, hitm, steps = pl.pallas_call(
         kernel,
         grid=(R,),
