@@ -53,15 +53,15 @@ def main():
     db = os.environ.get("PS_DOUBLE_BUFFER", "1") == "1"
     print(f"refine_iters={ri} double_buffer={db}", flush=True)
 
-    def core(values):
+    def core(values, o_, v_):
         return render_plane._plane_sweep_core(
-            values, meta.inv_origin_transform, meta.resolution, of, vf,
+            values, meta.inv_origin_transform, meta.resolution, o_, v_,
             0.0, float(t_max), 1e-3, refine_iters=ri,
             force_all_active=all_active, double_buffer=db,
         )
 
     f_stats = jax.jit(
-        lambda v: tuple(
+        lambda v, o_, v_: tuple(
             (
                 jnp.sum(r[0]),
                 jnp.sum(r[1]),
@@ -69,12 +69,14 @@ def main():
                 jnp.sum(r[3]),
                 r[4],
             )
-            for r in [core(v)]
+            for r in [core(v, o_, v_)]
         )[0]
     )
+    ofj = jnp.asarray(of)
+    vfj = jnp.asarray(vf)
     print("compiling plane-sweep...", flush=True)
     t0 = time.perf_counter()
-    out = [float(x) for x in f_stats(sdf.values)]
+    out = [float(x) for x in f_stats(sdf.values, ofj, vfj)]
     rows = (h * w) // 128
     print(
         f"first call {time.perf_counter()-t0:.1f}s sum_depth={out[0]:.2f} "
@@ -87,7 +89,7 @@ def main():
     times = []
     for _ in range(5):
         t0 = time.perf_counter()
-        _ = [float(x) for x in f_stats(sdf.values)]
+        _ = [float(x) for x in f_stats(sdf.values, ofj, vfj)]
         times.append(time.perf_counter() - t0)
     t_ps = float(np.median(times))
     rays = h * w
@@ -104,7 +106,7 @@ def main():
 
     # validation vs the XLA march — separate jits (a single fused program
     # exceeds the remote-compile request limit)
-    f_ps = jax.jit(lambda v: core(v)[:2])
+    f_ps = jax.jit(lambda v, o_, v_: core(v, o_, v_)[:2])
     from sdf_tools_tpu.grid import SdfGrid
 
     f_ref = jax.jit(
@@ -113,7 +115,7 @@ def main():
             o, d, t_max=t_max, max_steps=64, backend="march",
         )[:2]
     )
-    d_ps, h_ps = f_ps(sdf.values)
+    d_ps, h_ps = f_ps(sdf.values, ofj, vfj)
     print("compiling XLA march...", flush=True)
     rd, rh = f_ref(sdf.values, origins, dirs)
     permj = jnp.asarray(perm)
@@ -138,6 +140,51 @@ def main():
         f"hits ps={c[0]:.0f} ref={c[1]:.0f} both={c[2]:.0f} "
         f"disagree={c[3]:.0f} ({c[3]/rays*100:.3f}%) "
         f"depth err mean={c[4]/nboth:.5f} max={c[5]:.4f} (res={res})",
+        flush=True,
+    )
+
+    # ---- adjudicate disagreements against dense sampling -----------------
+    # take the rays where the two renderers differ most (different surface
+    # or hit/miss flips), densely sample the corrected trilinear along each,
+    # and score whose depth matches the true first eps-crossing
+    score = jnp.where(
+        h_ps != rh, 1e9, jnp.where(h_ps & rh, jnp.abs(d_ps - rd), 0.0)
+    )
+    NS = 1024
+    top = jnp.argsort(-score)[:NS]
+    eps = 1e-3
+
+    def adjudicate(values, idx):
+        oo = ofj[idx]
+        vv = vfj[idx]
+        ts = jnp.linspace(0.05, t_max, 16384)
+        pts = oo[:, None, :] + ts[None, :, None] * vv[:, None, :]
+        s = SdfGrid(values=values, meta=sdf.meta, oob_value=sdf.oob_value)
+        from sdf_tools_tpu.ops import query
+
+        dvals, ok = query.estimate_distance(s, pts)
+        below = ok & (dvals < eps)
+        first = jnp.argmax(below, axis=1)
+        has = jnp.any(below, axis=1)
+        t_true = jnp.where(has, ts[first], jnp.inf)
+        dt = ts[1] - ts[0]
+
+        def err(dpth, hitv):
+            t_rep = jnp.where(hitv[idx], dpth[idx], jnp.inf)
+            e = jnp.abs(t_rep - t_true)
+            ok_hit = has == hitv[idx]
+            close = ok_hit & (jnp.where(has, e, 0.0) <= 2 * dt + 2 * res)
+            return jnp.sum(close.astype(jnp.int32))
+
+        return err(d_ps, h_ps), err(rd, rh), jnp.sum(has.astype(jnp.int32))
+
+    a_ps, a_ref, n_true_hit = [
+        float(x) for x in jax.jit(adjudicate)(sdf.values, top)
+    ]
+    print(
+        f"adjudication on {NS} worst-disagreement rays (dense 16384-sample "
+        f"ground truth, {n_true_hit:.0f} true hits): plane-sweep correct "
+        f"{a_ps:.0f}/{NS}, march correct {a_ref:.0f}/{NS}",
         flush=True,
     )
 

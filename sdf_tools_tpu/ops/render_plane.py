@@ -114,6 +114,7 @@ def _make_kernel(eps: float, t_max: float, smax: int, refine_iters: int, double_
         depth_ref,
         hit_ref,
         steps_ref,
+        model_ref,
         band,
         band2,
         sem,
@@ -177,7 +178,7 @@ def _make_kernel(eps: float, t_max: float, smax: int, refine_iters: int, double_
                 dma(band, sem, xb0, yb0, zb0, True, False)
 
         def slab_body(s, state):
-            depth, hitm, steps, sampled = state
+            depth, hitm, steps, sampled, modelm = state
             slab, xb, yb, zb = unpack(tab_ref[0, 0, HDR + s])
             if double_buffer:
                 parity = lax.rem(s, 2)
@@ -294,21 +295,34 @@ def _make_kernel(eps: float, t_max: float, smax: int, refine_iters: int, double_
                 return (1 - wxm) * bil(0, SLAB) + wxm * bil(1, PB)
 
             # graze check: a sub-sample dip below eps between two >=eps
-            # samples is possible only if min(din,dout) < half the along-ray
-            # spacing (|grad d| <= 1); test the midpoint with the frozen model
-            tmid = 0.5 * (ta + tb)
-            dmid = dhat(tmid)
+            # samples. The CORRECTED field is up to ~2-Lipschitz along the
+            # ray (the +-res/2 center correction doubles corner jumps across
+            # sign changes), and the exact march samples every ~res/2: match
+            # its fidelity with three frozen-model probes per pair and a
+            # 1.1*spacing dip gate.
             spacing = jnp.abs(tc1)
+            tq1 = ta + 0.25 * (tb - ta)
+            tmid = 0.5 * (ta + tb)
+            tq3 = ta + 0.75 * (tb - ta)
+            dq1 = dhat(tq1)
+            dmid = dhat(tmid)
+            dq3 = dhat(tq3)
+            # earliest probe (marching order: ta is always the earlier t)
+            dip_t = jnp.where(
+                dq1 < eps,
+                tq1,
+                jnp.where(dmid < eps, tmid, jnp.where(dq3 < eps, tq3, BIGF)),
+            )
             graze = (
                 pair_valid
                 & ~cross
                 & (din >= eps)
                 & (dout >= eps)
-                & (jnp.minimum(din, dout) < 0.75 * spacing)
-                & (dmid < eps)
+                & (jnp.minimum(din, dout) < 1.1 * spacing)
+                & (dip_t < BIGF)
             )
             cand = cross | graze
-            tb_eff = jnp.where(graze, tmid, tb)
+            tb_eff = jnp.where(graze, dip_t, tb)
 
             # first candidate pair along the marching direction
             rank = jnp.where(dirpos, p_io8, SLAB - 1 - p_io8)
@@ -317,29 +331,30 @@ def _make_kernel(eps: float, t_max: float, smax: int, refine_iters: int, double_
             sel = cand & (key == minkey)
             found = (minkey < 99) & (hitm == 0)
 
-            def selsum(x):
-                return jnp.sum(
-                    jnp.where(sel, x, jnp.zeros((), x.dtype)),
-                    axis=0,
-                    keepdims=True,
-                )
+            def extract_model(sel8):
+                """One pair's frozen-corner model, selected by a one-hot
+                (SLAB,128) mask: extract its 8 corner values + corner-cell
+                coords, return a (1,128)-vector evaluator of
+                dhat(t) = (1-wx)*B_p + wx*B_{p+1} (exactly cubic in t;
+                linear x-EXTRApolation outside [ta,tb] matches the
+                reference's edge interpolation rules)."""
 
-            lo = selsum(ta)
-            hi = selsum(tb_eff)
+                def es(x):
+                    return jnp.sum(
+                        jnp.where(sel8, x, jnp.zeros((), x.dtype)),
+                        axis=0,
+                        keepdims=True,
+                    )
 
-            # bisection on the SELECTED pair's frozen-corner model: extract
-            # its 8 corner values + corner-cell coords once, then iterate on
-            # (1,128) arithmetic only
-            if refine_iters > 0:
-                fA = [selsum(c[0:SLAB]) for c in (c00, c01, c10, c11)]
-                fB = [selsum(c[1:PB]) for c in (c00, c01, c10, c11)]
-                lyA = selsum(loy[0:SLAB]).astype(jnp.float32)
-                lzA = selsum(loz[0:SLAB]).astype(jnp.float32)
-                lyB = selsum(loy[1:PB]).astype(jnp.float32)
-                lzB = selsum(loz[1:PB]).astype(jnp.float32)
-                gxs = selsum(gx[0:SLAB]).astype(jnp.float32)
+                fA = [es(c[0:SLAB]) for c in (c00, c01, c10, c11)]
+                fB = [es(c[1:PB]) for c in (c00, c01, c10, c11)]
+                lyA = es(loy[0:SLAB]).astype(jnp.float32)
+                lzA = es(loz[0:SLAB]).astype(jnp.float32)
+                lyB = es(loy[1:PB]).astype(jnp.float32)
+                lzB = es(loz[1:PB]).astype(jnp.float32)
+                gxs = es(gx[0:SLAB]).astype(jnp.float32)
 
-                def dhat1(t):
+                def dh(t):
                     uxm = (t - tc0) / tc1
                     uym = y0 + sy * uxm
                     uzm = z0 + sz * uxm
@@ -359,8 +374,25 @@ def _make_kernel(eps: float, t_max: float, smax: int, refine_iters: int, double_
                         fB, lyB, lzB
                     )
 
-                # dhat1 is EXACTLY cubic in t (bilinear in two linear-in-t
-                # coords times a linear x-weight): fit it from 4 parallel
+                return dh
+
+            def selsum(x):
+                return jnp.sum(
+                    jnp.where(sel, x, jnp.zeros((), x.dtype)),
+                    axis=0,
+                    keepdims=True,
+                )
+
+            lo = selsum(ta)
+            hi = selsum(tb_eff)
+
+            # bisection on the SELECTED pair's frozen-corner model: extract
+            # its 8 corner values + corner-cell coords once, then iterate on
+            # (1,128) arithmetic only
+            if refine_iters > 0:
+                dhat1 = extract_model(sel)
+
+                # dhat1 is EXACTLY cubic in t: fit it from 4 parallel
                 # evaluations, then bisect on a 3-fma Horner evaluation —
                 # the sequential refine chain is latency-bound, so cheap
                 # per-iteration ops matter more than anything
@@ -391,31 +423,149 @@ def _make_kernel(eps: float, t_max: float, smax: int, refine_iters: int, double_
                 hi = hi2
             t_hit = hi
 
-            # immediate hit: first-ever valid sample already inside eps
+            # first / last valid plane of this slab (marching order)
             rank9 = jnp.where(dirpos, p_io9, PB - 1 - p_io9)
             key9 = jnp.where(valid, rank9, 99)
             mk9 = jnp.min(key9, axis=0, keepdims=True)
             selfirst = valid & (key9 == mk9)
-            firstd = jnp.sum(jnp.where(selfirst, d9, 0.0), axis=0, keepdims=True)
-            firstt = jnp.sum(jnp.where(selfirst, ty, 0.0), axis=0, keepdims=True)
+            key9b = jnp.where(valid, rank9, -1)
+            mx9 = jnp.max(key9b, axis=0, keepdims=True)
+            sellast = valid & (key9b == mx9)
+
+            def sum9(sel9, x):
+                return jnp.sum(jnp.where(sel9, x, 0.0), axis=0, keepdims=True)
+
+            firstd = sum9(selfirst, d9)
+            firstt = sum9(selfirst, ty)
+            pfv = jnp.sum(
+                jnp.where(selfirst, p_io9, 0), axis=0, keepdims=True
+            )
+            lastd = sum9(sellast, d9)
+            lastt = sum9(sellast, ty)
+            plv = jnp.sum(jnp.where(sellast, p_io9, 0), axis=0, keepdims=True)
             has_sample = mk9 < 99
-            imm = (
-                jnp.logical_not(sampled.astype(bool))
-                & has_sample
-                & (firstd < eps)
-                & (hitm == 0)
+
+            def t_at_eps(t0, d0_, t1, d1_):
+                # secant to the eps level inside a bracket (d0_>=eps>d1_)
+                den = jnp.where(jnp.abs(d0_ - d1_) > 1e-20, d0_ - d1_, 1e-20)
+                return t0 + (t1 - t0) * (d0_ - eps) / den
+
+            # ---- entry / exit virtual samples ----------------------------
+            # plane-center sampling cannot see crossings in the sliver
+            # between a grid face and the nearest plane center (obstacles
+            # poking through the volume boundary). Sample the ray's entry
+            # (t_start) and exit (t_end) points by extrapolating the first /
+            # last valid pair's frozen-corner model — which reproduces the
+            # reference's edge extrapolation exactly up to y/z drift.
+            fresh = (jnp.logical_not(sampled.astype(bool))
+                     & has_sample & (hitm == 0))
+            # the entry probes extrapolate the FIRST-SAMPLE pair's model to
+            # t_start: only meaningful when the entry actually lies within
+            # ~one plane of it. A farther entry means the entry slab was
+            # inactive, i.e. provably interior-free — no entry hit possible
+            # (an 80-plane extrapolation otherwise goes arbitrarily negative
+            # and hallucinates hits).
+            spacing = jnp.abs(tc1)
+            near_entry = (firstt - t_start) <= 1.5 * spacing
+            pv8 = vlow & vhigh  # model needs both planes of the pair valid
+
+            def pair_ok(pair_idx):
+                return (
+                    jnp.sum(
+                        ((p_io8 == pair_idx) & pv8).astype(jnp.int32),
+                        axis=0,
+                        keepdims=True,
+                    )
+                    > 0
+                )
+
+            pair_e = jnp.clip(
+                jnp.where(dirpos, pfv, pfv - 1), 0, SLAB - 1
+            )
+            # the model-based entry probes need a valid pair; the exact
+            # first-sample immediate hit below must NOT be gated on it (a
+            # neighboring slab can contribute its single shared boundary
+            # plane as the ray's first sample)
+            e_ok = fresh & near_entry & pair_ok(pair_e)
+            dh_e = extract_model(p_io8 == pair_e)
+            d_entry = dh_e(t_start)
+            t_mid_e = 0.5 * (t_start + firstt)
+            d_mid_e = dh_e(t_mid_e)
+            entry_hit = e_ok & (d_entry < eps)
+            entry_graze = (
+                e_ok & ~entry_hit & (firstd >= eps) & (d_mid_e < eps)
+            )
+            t_entry_hit = jnp.where(
+                entry_hit, t_start, t_at_eps(t_start, d_entry, t_mid_e, d_mid_e)
             )
 
-            new_depth = jnp.where(imm, firstt, jnp.where(found, t_hit, depth))
-            new_hit = hitm | found.astype(jnp.int32) | imm.astype(jnp.int32)
+            # the ray's window ends inside this slab if the next crossing
+            # (one spacing past the last valid one) is already outside it
+            exiting = has_sample & (hitm == 0) & (t_end < lastt + spacing)
+            pair_x = jnp.clip(
+                jnp.where(dirpos, plv - 1, plv), 0, SLAB - 1
+            )
+            exiting &= pair_ok(pair_x)
+            dh_x = extract_model(p_io8 == pair_x)
+            d_exit = dh_x(t_end)
+            t_mid_x = 0.5 * (lastt + t_end)
+            d_mid_x = dh_x(t_mid_x)
+            exit_cross = exiting & (lastd >= eps) & (d_exit < eps)
+            exit_graze = (
+                exiting
+                & (lastd >= eps)
+                & (d_exit >= eps)
+                & (d_mid_x < eps)
+            )
+            t_exit_hit = jnp.where(
+                exit_cross,
+                t_at_eps(lastt, lastd, t_end, d_exit),
+                t_at_eps(lastt, lastd, t_mid_x, d_mid_x),
+            )
+
+            # immediate hit: first-ever valid sample already inside eps
+            imm = fresh & (firstd < eps)
+
+            # priority along the ray: entry (t_start) < immediate (first
+            # plane) < in-slab crossing < exit sliver
+            any_entry = entry_hit | entry_graze
+            new_depth = jnp.where(
+                any_entry,
+                t_entry_hit,
+                jnp.where(
+                    imm,
+                    firstt,
+                    jnp.where(
+                        found,
+                        t_hit,
+                        jnp.where(exit_cross | exit_graze, t_exit_hit, depth),
+                    ),
+                ),
+            )
+            hit_now = any_entry | imm | found | exit_cross | exit_graze
+            new_hit = hitm | hit_now.astype(jnp.int32)
+            # hits witnessed by EXACT samples (a sign crossing between two
+            # in-band samples, or a first sample already < eps) are provably
+            # real; hits proposed by the frozen-corner MODEL (graze probes,
+            # entry/exit extrapolation) get re-checked with exact queries on
+            # the XLA side
+            graze_sel = (
+                jnp.sum((sel & graze).astype(jnp.int32), axis=0, keepdims=True)
+                > 0
+            )
+            model_now = (hitm == 0) & (
+                any_entry | (found & graze_sel) | exit_cross | exit_graze
+            )
+            new_model = modelm | model_now.astype(jnp.int32)
             new_steps = steps + jnp.sum(
                 (valid & (hitm == 0)).astype(jnp.int32), axis=0, keepdims=True
             )
             new_sampled = sampled | has_sample.astype(jnp.int32)
-            return new_depth, new_hit, new_steps, new_sampled
+            return new_depth, new_hit, new_steps, new_sampled, new_model
 
         init = (
             jnp.full((1, LANES), t_max, jnp.float32),
+            jnp.zeros((1, LANES), jnp.int32),
             jnp.zeros((1, LANES), jnp.int32),
             jnp.zeros((1, LANES), jnp.int32),
             jnp.zeros((1, LANES), jnp.int32),
@@ -425,14 +575,14 @@ def _make_kernel(eps: float, t_max: float, smax: int, refine_iters: int, double_
             # reduction costs ~2 us but a skipped slab saves ~6 us, and
             # tiles over an object's interior hit within 1-2 slabs
             def cond(st):
-                s, (_, hitm, _, _) = st
+                s, (_, hitm, _, _, _) = st
                 return jnp.logical_and(s < n_act, jnp.any(hitm == 0))
 
             def body(st):
                 s, state = st
                 return s + 1, slab_body(s, state)
 
-            s_end, (depth, hitm, steps, _) = lax.while_loop(
+            s_end, (depth, hitm, steps, _, modelm) = lax.while_loop(
                 cond, body, (jnp.int32(0), init)
             )
             if double_buffer:
@@ -451,10 +601,13 @@ def _make_kernel(eps: float, t_max: float, smax: int, refine_iters: int, double_
                         dma(band2, sem2, xb_d, yb_d, zb_d, False, True)
 
         else:
-            depth, hitm, steps, _ = lax.fori_loop(0, n_act, slab_body, init)
+            depth, hitm, steps, _, modelm = lax.fori_loop(
+                0, n_act, slab_body, init
+            )
         depth_ref[...] = depth.reshape(1, 1, LANES)
         hit_ref[...] = hitm.reshape(1, 1, LANES)
         steps_ref[...] = steps.reshape(1, 1, LANES)
+        model_ref[...] = modelm.reshape(1, 1, LANES)
 
     return kernel
 
@@ -829,7 +982,7 @@ def _plane_sweep_core(
             vols.append(jnp.zeros((PB, BY, BZ), values.dtype))
 
     kernel = _make_kernel(eps, t_max, smax, refine_iters, double_buffer, early_exit)
-    depth, hitm, steps = pl.pallas_call(
+    depth, hitm, steps, modelm = pl.pallas_call(
         kernel,
         grid=(R,),
         in_specs=[
@@ -845,9 +998,11 @@ def _plane_sweep_core(
             pl.BlockSpec((1, 1, LANES), lambda r: (r, 0, 0)),
             pl.BlockSpec((1, 1, LANES), lambda r: (r, 0, 0)),
             pl.BlockSpec((1, 1, LANES), lambda r: (r, 0, 0)),
+            pl.BlockSpec((1, 1, LANES), lambda r: (r, 0, 0)),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((R, 1, LANES), jnp.float32),
+            jax.ShapeDtypeStruct((R, 1, LANES), jnp.int32),
             jax.ShapeDtypeStruct((R, 1, LANES), jnp.int32),
             jax.ShapeDtypeStruct((R, 1, LANES), jnp.int32),
         ],
@@ -869,9 +1024,65 @@ def _plane_sweep_core(
     unresolved = jnp.broadcast_to(
         unresolved_row[:, None], (R, LANES)
     ).reshape(N)
+
+    # ---- exact verification of model-proposed hits ------------------------
+    # Hits witnessed by exact in-band samples (sign crossings, first-sample
+    # immediate hits) are provably real. Hits proposed by the frozen-corner
+    # model (graze probes, entry/exit extrapolation) carry O(res)-scale model
+    # error near silhouettes and must be re-checked with exact queries:
+    # sample the corrected trilinear at KV points across one plane spacing
+    # around the reported depth; confirm (with the exact first below-eps t)
+    # or demote to miss. Budgeted to KR rays with static shapes.
+    depth_f = depth.reshape(N)
+    hit_f = hitm.reshape(N) > 0
+    model_f = modelm.reshape(N) > 0
+    flagged = hit_f & model_f
+    from ..grid import GridMeta as _GridMeta, SdfGrid as _SdfGrid
+    from . import query as _query
+
+    KR = min(16384, N)
+    KV = 17
+    _, idxs = lax.top_k(flagged.astype(jnp.int32), KR)
+    f_sel = flagged[idxs]
+    tr = depth_f[idxs]
+    o_sel = origins[idxs]
+    v_sel = directions[idxs]
+    # near-tangent hits localize poorly along the ray (flat d(t) plus
+    # O(res) model error shifts the eps-crossing by many cells), but the
+    # true dip provably lies within the proposing pair segment: cover the
+    # full pair plus margin
+    offs = jnp.linspace(-1.25, 1.25, KV).astype(jnp.float32) * (
+        jnp.sqrt(3.0) * res
+    )
+    tsmp = tr[:, None] + offs[None, :]
+    pts = o_sel[:, None, :] + tsmp[..., None] * v_sel[:, None, :]
+    meta_v = _GridMeta(
+        origin_transform=jnp.linalg.inv(inv_origin_transform.astype(jnp.float64)).astype(jnp.float32),
+        inv_origin_transform=inv_origin_transform,
+        resolution=res,
+        shape=tuple(values.shape),
+        frame="world",
+    )
+    sdf_v = _SdfGrid(
+        values=values, meta=meta_v, oob_value=jnp.asarray(jnp.inf)
+    )
+    dsm, oksm = _query.estimate_distance(sdf_v, pts)
+    below = oksm & (dsm < eps) & (tsmp >= t_min) & (tsmp <= t_max)
+    anyb = jnp.any(below, axis=1)
+    first = jnp.argmax(below, axis=1)
+    t_ver = jnp.take_along_axis(tsmp, first[:, None], axis=1)[:, 0]
+    new_hit_sel = jnp.where(f_sel, anyb, hit_f[idxs])
+    new_depth_sel = jnp.where(
+        f_sel,
+        jnp.where(anyb, t_ver, jnp.float32(t_max)),
+        depth_f[idxs],
+    )
+    hit_f = hit_f.at[idxs].set(new_hit_sel)
+    depth_f = depth_f.at[idxs].set(new_depth_sel)
+
     return (
-        depth.reshape(N),
-        hitm.reshape(N) > 0,
+        depth_f,
+        hit_f,
         steps.reshape(N),
         unresolved,
         jnp.sum(n_act),
