@@ -55,9 +55,33 @@ HDR = 8  # header ints per row: [n_active, axis, nx, ny, nz, 0, 0, 0]
 BIGF = 1e30
 SLOPE_CAP = 3.5  # max |dy/dx| the footprint boxes are sized for
 
-# footprint caps implied by band geometry (aligned base + corner pair)
-_Y_SPAN = BY - 1  # range_hi must fit in [yb, yb+31]
+# footprint caps implied by band geometry (aligned base + corner pair):
+# the corner-pair range_hi must fit inside the fetched band, i.e. within
+# [yb, yb + BY - 1] on sublanes (yb 8-aligned) and [zb, zb + BZ - 1] on
+# lanes (zb 128-aligned)
+_Y_SPAN = BY - 1
 _Z_SPAN = BZ - 1
+
+# pack-field capacities: a slot packs (slab*256 + yb//8)*32 + zb//128, so
+# yb//8 gets 8 bits, zb//128 gets 5 bits and slab the rest of the int32;
+# band bases beyond these would WRAP silently and fetch the wrong band.
+# Axes whose extents could overflow are treated as unsupported (rays fall
+# back to the exact march; `plane_sweep_supported` reports it).
+_MAX_YB = 255 * 8
+_MAX_ZB = 31 * 128
+_MAX_SLABS = (1 << 31) // (256 * 32) - 1
+
+
+def _axis_supported(sh: Tuple[int, int, int]) -> bool:
+    """Band geometry + pack-encoding limits for one marching-axis layout."""
+    return (
+        sh[0] >= PB
+        and sh[1] >= BY
+        and sh[2] >= BZ
+        and sh[1] - BY <= _MAX_YB
+        and sh[2] - BZ <= _MAX_ZB
+        and (sh[0] + SLAB - 1) // SLAB <= _MAX_SLABS
+    )
 
 
 def _perm(axis: int) -> Tuple[int, int, int]:
@@ -818,7 +842,7 @@ def _plane_sweep_core(
         p = _perm(a)
         sh = (nxyz[p[0]], nxyz[p[1]], nxyz[p[2]])
         shapes_by_axis.append(sh)
-        supported.append(sh[0] >= PB and sh[1] >= BY and sh[2] >= BZ)
+        supported.append(_axis_supported(sh))
     if not any(supported):
         raise ValueError("grid too small for the plane-sweep renderer")
     smax = max(
@@ -1041,20 +1065,31 @@ def _plane_sweep_core(
     from . import query as _query
 
     KR = min(16384, N)
-    KV = 17
+    KV = 33
     _, idxs = lax.top_k(flagged.astype(jnp.int32), KR)
     f_sel = flagged[idxs]
+    # rays flagged beyond the KR verification budget must NOT keep their
+    # unverified model hits (silent false positives): route the overflow
+    # into the exact-march fallback instead
+    selected = jnp.zeros((N,), bool).at[idxs].set(f_sel)
+    overflow = flagged & ~selected
+    unresolved = unresolved | overflow
+    n_flagged = jnp.sum(flagged)
     tr = depth_f[idxs]
     o_sel = origins[idxs]
     v_sel = directions[idxs]
     # near-tangent hits localize poorly along the ray (flat d(t) plus
     # O(res) model error shifts the eps-crossing by many cells), but the
-    # true dip provably lies within the proposing pair segment: cover the
-    # full pair plus margin
-    offs = jnp.linspace(-1.25, 1.25, KV).astype(jnp.float32) * (
-        jnp.sqrt(3.0) * res
+    # true dip provably lies within the proposing pair segment. The pair
+    # segment's length along the ray is the per-ray plane spacing |tc1|
+    # (up to ~3.6*res at the slope cap), NOT a fixed multiple of res —
+    # scale the window per ray so graze dips near the segment ends stay
+    # covered, with a sqrt(3)*res floor for steep rays.
+    spacing = jnp.maximum(
+        jnp.abs(info["tc1"].reshape(N)[idxs]), jnp.sqrt(3.0) * res
     )
-    tsmp = tr[:, None] + offs[None, :]
+    offs = jnp.linspace(-1.25, 1.25, KV).astype(jnp.float32)
+    tsmp = tr[:, None] + offs[None, :] * spacing[:, None]
     pts = o_sel[:, None, :] + tsmp[..., None] * v_sel[:, None, :]
     meta_v = _GridMeta(
         origin_transform=jnp.linalg.inv(inv_origin_transform.astype(jnp.float64)).astype(jnp.float32),
@@ -1086,6 +1121,7 @@ def _plane_sweep_core(
         steps.reshape(N),
         unresolved,
         jnp.sum(n_act),
+        n_flagged,
     )
 
 
@@ -1107,10 +1143,12 @@ def tile_perm(h: int, w: int, n_rays: int, th: int = 8, tw: int = 16):
 
 
 def plane_sweep_supported(shape: Tuple[int, int, int]) -> bool:
-    """True if at least one marching axis fits the band geometry."""
+    """True if at least one marching axis fits the band geometry AND the
+    slot-pack encoding (see _axis_supported: oversized extents would wrap
+    the packed band base and fetch the wrong band)."""
     for a in range(3):
         p = _perm(a)
-        if shape[p[0]] >= PB and shape[p[1]] >= BY and shape[p[2]] >= BZ:
+        if _axis_supported((shape[p[0]], shape[p[1]], shape[p[2]])):
             return True
     return False
 
@@ -1168,7 +1206,7 @@ def plane_sweep_depth(
         of = jnp.concatenate([of, pado], axis=0)
         vf = jnp.concatenate([vf, padv], axis=0)
 
-    depth, hit, steps, unresolved, n_act_total = _plane_sweep_core(
+    depth, hit, steps, unresolved, n_act_total, n_flagged = _plane_sweep_core(
         values,
         meta.inv_origin_transform,
         meta.resolution,
@@ -1213,6 +1251,10 @@ def plane_sweep_depth(
     )
     if diag:
         return out + (
-            {"unresolved": jnp.sum(unresolved), "n_act": n_act_total},
+            {
+                "unresolved": jnp.sum(unresolved),
+                "n_act": n_act_total,
+                "n_flagged": n_flagged,
+            },
         )
     return out

@@ -106,7 +106,7 @@ def _sharded_line_pass_d2(mask_local: Array, axis_name: str) -> Array:
 
 
 def sharded_squared_edt(
-    mask_local: Array, axis_name: str = "x", backend: str = "stencil"
+    mask_local: Array, axis_name: str = "x", backend: str = "auto"
 ) -> Array:
     """Exact squared EDT of an x-sharded volume; call inside shard_map.
 
@@ -128,7 +128,7 @@ def sharded_signed_field(
     filled_local: Array,
     resolution,
     axis_name: str = "x",
-    backend: str = "stencil",
+    backend: str = "auto",
 ) -> Array:
     """Sharded two-field signed combine (local slab of the global SDF)."""
     d2f = sharded_squared_edt(filled_local, axis_name, backend)
@@ -230,7 +230,7 @@ def sharded_squared_edt_2d(
     mask_local: Array,
     axis_x: str = "x",
     axis_y: str = "y",
-    backend: str = "stencil",
+    backend: str = "auto",
     method: str = "reshard",
 ) -> Array:
     """Exact squared EDT of a volume sharded over a 2-D mesh (x, y) tiles.
@@ -273,7 +273,7 @@ def sharded_signed_field_2d(
     resolution,
     axis_x: str = "x",
     axis_y: str = "y",
-    backend: str = "stencil",
+    backend: str = "auto",
     method: str = "reshard",
 ) -> Array:
     d2f = sharded_squared_edt_2d(filled_local, axis_x, axis_y, backend, method)
@@ -288,8 +288,11 @@ def sharded_signed_field_2d(
 # slab's own AABB gives per-ray entry/exit, a 2-cell halo (differentiable
 # ppermute) makes boundary trilinear queries exact, and a min-composite over
 # the mesh axis picks each ray's first hit. Communication per step is
-# O(rays + halo surface) — never O(volume). Per-device march work is capped
-# by scaling max_steps with 1/n_dev (the in-slab path is that much shorter).
+# O(rays + halo surface) — never O(volume). Each device gets the FULL step
+# budget: a ray near-parallel to the slab faces traverses its whole length
+# inside one slab (the in-slab path is 1/n_dev only for slab-perpendicular
+# rays), and the march clamps marching to the slab AABB anyway, so rays that
+# exit early are frozen and cost nothing extra per step.
 # ---------------------------------------------------------------------------
 
 
@@ -329,6 +332,7 @@ def sharded_render_depth(
     eps: float = 1e-3,
     max_steps: int = 96,
     min_step=None,
+    backend: str = "march",
 ):
     """Render depth for all rays over an x-sharded SDF; call inside shard_map.
 
@@ -359,7 +363,10 @@ def sharded_render_depth(
     )
     slab_sdf = SdfGrid.create(ext, slab_meta, oob_value)
 
-    local_steps = max(16, max_steps // n_dev)
+    # Full step budget per shard: a ray whose direction is dominated by y/z
+    # travels its entire length inside ONE slab, so capping at max_steps //
+    # n_dev silently turned long in-slab paths into misses (ADVICE r2).
+    # Slab-perpendicular rays exit the slab AABB early and are frozen.
     result = render_ops.render_depth(
         slab_sdf,
         origins,
@@ -367,11 +374,9 @@ def sharded_render_depth(
         t_min=t_min,
         t_max=t_max,
         eps=eps,
-        max_steps=local_steps,
+        max_steps=max_steps,
         min_step=min_step,
-        # the plane-sweep kernel is not exercised under shard_map yet;
-        # keep the slab segments on the XLA march explicitly
-        backend="march",
+        backend=backend,
     )
     depth_local = jnp.where(result.hit, result.depth, jnp.full_like(result.depth, t_max))
 

@@ -40,7 +40,7 @@ class PipelineConfig(NamedTuple):
     t_max: float = 20.0
     oob_value: float = 1e3
     lr: float = 1e-2
-    edt_backend: str = "stencil"
+    edt_backend: str = "auto"
     fov_deg: float = 40.0
 
 
