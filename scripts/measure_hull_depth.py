@@ -50,14 +50,27 @@ def envelope_exact_2d(slice_mask: np.ndarray) -> np.ndarray:
     return np.rint(d * d).astype(np.int64)
 
 
-def cht_stats(f_lines: np.ndarray, maxK: int = 64):
+def cht_stats_chunked(f_lines: np.ndarray, chunk: int = 32768):
+    """cht_stats over line chunks (bounds peak memory at 512^3)."""
+    outs, mxs = [], []
+    for i in range(0, f_lines.shape[0], chunk):
+        o, m = cht_stats(f_lines[i : i + chunk])
+        outs.append(o)
+        mxs.append(m)
+    return np.concatenate(outs), np.concatenate(mxs)
+
+
+def cht_stats(f_lines: np.ndarray, maxK: int | None = None):
     """Lockstep monotone-CHT forward scan over lines f_lines [B, n].
 
     Returns (out_left [B, n] left-envelope, per-line max active hull size).
     Active = stack minus the bottom lines already passed by the query point
-    (the K a register kernel must hold).
+    (the K a register kernel must hold). Storage is NOT recycled (passed
+    bottom lines keep their slots), so maxK defaults to n.
     """
     B, n = f_lines.shape
+    if maxK is None:
+        maxK = n + 1
     g = f_lines + (np.arange(n, dtype=np.int64) ** 2)[None, :]
     m_st = np.zeros((B, maxK), np.int64)  # slopes 2j
     b_st = np.zeros((B, maxK), np.int64)  # intercepts -g[j]
@@ -140,7 +153,7 @@ def pass_stats(name: str, f3d: np.ndarray, axis: int, block=(8, 128)):
     f = np.moveaxis(f3d, axis, -1)
     sh = f.shape
     lines = f.reshape(-1, sh[-1])
-    _, mx = cht_stats(lines)
+    _, mx = cht_stats_chunked(lines)
     mx2 = mx.reshape(sh[0], sh[1])
     # per-block max at the kernel's fallback granularity
     b0, b1 = block

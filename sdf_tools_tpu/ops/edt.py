@@ -263,11 +263,21 @@ def _line_d2_pallas(mask: Array) -> Array:
     return edt_pallas.line_pass_pallas(mask, interpret=interpret)
 
 
+def _envelope_pass_cht(f: Array, axis: int) -> Array:
+    """Monotone convex-hull-trick kernel (see edt_cht.py): O(K) work per
+    cell instead of the relaxation's O(max winning distance); exact, with
+    per-block fallback to the relaxation on register-hull overflow."""
+    from . import edt_cht
+
+    return edt_cht.envelope_pass_cht(f, axis)
+
+
 _ENVELOPE_BACKENDS = {
     "stencil": envelope_pass_stencil,
     "brute": envelope_pass_brute,
     "scan": envelope_pass_scan,
     "pallas": _envelope_pass_pallas,
+    "cht": _envelope_pass_cht,
 }
 
 
