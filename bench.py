@@ -110,6 +110,79 @@ def bench_render(mask: np.ndarray, repeats: int = 3):
     return h * w / t, t, mean_depth
 
 
+def bench_render_bwd(mask: np.ndarray, repeats: int = 3):
+    """Backward throughput of the depth render (BASELINE config #4 'with
+    pixel gradients'): value_and_grad of a depth loss through
+    sphere_trace_depth's IFT custom_vjp, gradients w.r.t. the SDF values.
+    The forward inside uses the same backend='auto' as bench_render."""
+    import jax
+    import jax.numpy as jnp
+
+    from sdf_tools_tpu.grid import GridMeta, make_origin_transform
+    from sdf_tools_tpu.ops import edt, render
+
+    n = mask.shape[0]
+    res = 0.05
+    backend = "pallas" if jax.default_backend() in ("tpu", "axon") else "stencil"
+    meta = GridMeta.create(make_origin_transform([0.0, 0.0, 0.0]), res, mask.shape)
+    sdf, _ = edt.extract_signed_distance_field(
+        jnp.asarray(mask), meta, oob_value=1e3, backend=backend
+    )
+    center = np.full(3, 0.5 * n * res)
+    cam = center + np.array([-1.2 * n * res, 0.0, 0.4 * n * res])
+    h = w = 1024
+    origins, dirs = render.camera_rays(
+        jnp.asarray(cam, jnp.float32), jnp.asarray(center, jnp.float32),
+        jnp.asarray([0.0, 0.0, 1.0]), 50.0, h, w,
+    )
+
+    from sdf_tools_tpu.grid import SdfGrid
+
+    def loss(values):
+        s = SdfGrid(values=values, meta=meta, oob_value=sdf.oob_value)
+        r = render.render_depth(s, origins, dirs, t_max=4.0 * n * res, max_steps=64)
+        return jnp.sum(r.depth**2)
+
+    # scalar-fetch timing (docs/NOTES.md §8): sum the gradient on device
+    f = jax.jit(lambda v: jnp.sum(jax.grad(loss)(v)) + loss(v))
+    _ = float(f(sdf.values))
+    times = []
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        _ = float(f(sdf.values))
+        times.append(time.perf_counter() - t0)
+    t = float(np.median(times))
+    return h * w / t, t
+
+
+def bench_edt_bwd(mask: np.ndarray, repeats: int = 3):
+    """Backward throughput of the differentiable EDT (feature-transform
+    surrogate, ops/diff.sdf_from_occupancy_ft): value_and_grad of a field
+    loss w.r.t. soft occupancy."""
+    import jax
+    import jax.numpy as jnp
+
+    from sdf_tools_tpu.ops import diff
+
+    backend = "pallas" if jax.default_backend() in ("tpu", "axon") else "stencil"
+    occ = jnp.asarray(mask, jnp.float32) * 0.9 + 0.05
+
+    def loss(o):
+        vals = diff.sdf_from_occupancy_ft(o, 0.05, backend)
+        return jnp.sum(vals**2)
+
+    f = jax.jit(lambda o: jnp.sum(jax.grad(loss)(o)))
+    _ = float(f(occ))
+    times = []
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        _ = float(f(occ))
+        times.append(time.perf_counter() - t0)
+    t = float(np.median(times))
+    n = mask.shape[0]
+    return n**3 / t, t
+
+
 def main():
     n = 512
     mask = make_scene(n)
@@ -117,6 +190,8 @@ def main():
     vox_per_s = n**3 / t_tpu
 
     rays_per_s, t_render, _ = bench_render(mask)
+    bwd_rays_per_s, t_render_bwd = bench_render_bwd(mask)
+    edt_bwd_vox_per_s, t_edt_bwd = bench_edt_bwd(mask)
 
     # CPU baseline at 256^3 extrapolated to 512^3 (8x voxels, same per-voxel
     # cost for this algorithm class) to keep bench wall time bounded.
@@ -138,6 +213,10 @@ def main():
         "tpu_seconds": round(t_tpu, 4),
         "render_rays_per_s": round(rays_per_s, 1),
         "render_seconds_1Mray": round(t_render, 4),
+        "render_bwd_rays_per_s": round(bwd_rays_per_s, 1),
+        "render_bwd_seconds_1Mray": round(t_render_bwd, 4),
+        "edt_bwd_voxels_per_s": round(edt_bwd_vox_per_s, 1),
+        "edt_bwd_seconds": round(t_edt_bwd, 4),
         "cpu_baseline_seconds_extrapolated": round(t_cpu, 2),
         "hbm_roofline_seconds": round(hbm_floor_s, 4),
         "scene": f"{n}^3 random spheres, fill={mask.mean():.3f}",

@@ -44,6 +44,18 @@ from jax.experimental.pallas import tpu as pltpu
 
 Array = jax.Array
 
+
+def _out_struct(x, shape, dtype):
+    """ShapeDtypeStruct carrying x's varying-manual-axes type so the kernel
+    composes with shard_map(check_vma=True) (see edt_pallas._out_struct)."""
+    try:
+        vma = jax.typeof(x).vma
+    except Exception:
+        vma = None
+    if vma:
+        return jax.ShapeDtypeStruct(shape, dtype, vma=vma)
+    return jax.ShapeDtypeStruct(shape, dtype)
+
 LANES = 128  # rays per row
 SLAB = 16  # planes per slab (larger slabs amortize per-slab overheads,
 # which ablations show dominate per-slab arithmetic)
@@ -128,7 +140,7 @@ def _corner_gather(band_v, ry, rz):
     return v00, v01, v10, v11
 
 
-def _make_kernel(eps: float, t_max: float, smax: int, refine_iters: int, double_buffer: bool = True, early_exit: bool = True):
+def _make_kernel(eps: float, t_max: float, smax: int, refine_iters: int, double_buffer: bool = True, early_exit: bool = True, nm_mult: float = 0.75):
     def kernel(
         tab_ref,
         ch_ref,
@@ -139,6 +151,7 @@ def _make_kernel(eps: float, t_max: float, smax: int, refine_iters: int, double_
         hit_ref,
         steps_ref,
         model_ref,
+        tnear_ref,
         band,
         band2,
         sem,
@@ -202,7 +215,7 @@ def _make_kernel(eps: float, t_max: float, smax: int, refine_iters: int, double_
                 dma(band, sem, xb0, yb0, zb0, True, False)
 
         def slab_body(s, state):
-            depth, hitm, steps, sampled, modelm = state
+            depth, hitm, steps, sampled, modelm, tnear = state
             slab, xb, yb, zb = unpack(tab_ref[0, 0, HDR + s])
             if double_buffer:
                 parity = lax.rem(s, 2)
@@ -344,6 +357,37 @@ def _make_kernel(eps: float, t_max: float, smax: int, refine_iters: int, double_
                 & (dout >= eps)
                 & (jnp.minimum(din, dout) < 1.1 * spacing)
                 & (dip_t < BIGF)
+            )
+
+            # ---- near-miss tracking --------------------------------------
+            # Record the FIRST t (slabs arrive in marching order; within a
+            # slab take the min t) where any exact sample or graze probe
+            # dips below eps + nm_mult*spacing while the ray is unhit. The
+            # frozen-corner model's silhouette error is O(plane spacing), so
+            # a miss whose trace came this close may be a false miss; the
+            # XLA tail re-checks such rays with exact trilinear queries
+            # (the symmetric counterpart of the model-hit verification —
+            # NOTES §11(a), VERDICT r2 item 2).
+            # (8,128) pair-slice shapes only: Mosaic cannot sublane-broadcast
+            # the (1,128) threshold to the (17,128) plane array
+            nm_thresh = eps + nm_mult * spacing
+
+            def near_min(dvals, tvals, mask):
+                return jnp.min(
+                    jnp.where(mask & (dvals < nm_thresh), tvals, BIGF),
+                    axis=0,
+                    keepdims=True,
+                )
+
+            t_near_slab = near_min(din, ta, pair_valid)
+            t_near_slab = jnp.minimum(t_near_slab, near_min(dout, tb, pair_valid))
+            t_near_slab = jnp.minimum(t_near_slab, near_min(dq1, tq1, pair_valid))
+            t_near_slab = jnp.minimum(t_near_slab, near_min(dmid, tmid, pair_valid))
+            t_near_slab = jnp.minimum(t_near_slab, near_min(dq3, tq3, pair_valid))
+            new_tnear = jnp.where(
+                (hitm == 0) & (tnear >= 0.5 * BIGF) & (t_near_slab < 0.5 * BIGF),
+                t_near_slab,
+                tnear,
             )
             cand = cross | graze
             tb_eff = jnp.where(graze, dip_t, tb)
@@ -585,7 +629,7 @@ def _make_kernel(eps: float, t_max: float, smax: int, refine_iters: int, double_
                 (valid & (hitm == 0)).astype(jnp.int32), axis=0, keepdims=True
             )
             new_sampled = sampled | has_sample.astype(jnp.int32)
-            return new_depth, new_hit, new_steps, new_sampled, new_model
+            return new_depth, new_hit, new_steps, new_sampled, new_model, new_tnear
 
         init = (
             jnp.full((1, LANES), t_max, jnp.float32),
@@ -593,20 +637,21 @@ def _make_kernel(eps: float, t_max: float, smax: int, refine_iters: int, double_
             jnp.zeros((1, LANES), jnp.int32),
             jnp.zeros((1, LANES), jnp.int32),
             jnp.zeros((1, LANES), jnp.int32),
+            jnp.full((1, LANES), BIGF, jnp.float32),
         )
         if early_exit:
             # stop once every ray in the row has hit: the vector->scalar
             # reduction costs ~2 us but a skipped slab saves ~6 us, and
             # tiles over an object's interior hit within 1-2 slabs
             def cond(st):
-                s, (_, hitm, _, _, _) = st
+                s, (_, hitm, _, _, _, _) = st
                 return jnp.logical_and(s < n_act, jnp.any(hitm == 0))
 
             def body(st):
                 s, state = st
                 return s + 1, slab_body(s, state)
 
-            s_end, (depth, hitm, steps, _, modelm) = lax.while_loop(
+            s_end, (depth, hitm, steps, _, modelm, tnearv) = lax.while_loop(
                 cond, body, (jnp.int32(0), init)
             )
             if double_buffer:
@@ -625,13 +670,14 @@ def _make_kernel(eps: float, t_max: float, smax: int, refine_iters: int, double_
                         dma(band2, sem2, xb_d, yb_d, zb_d, False, True)
 
         else:
-            depth, hitm, steps, _, modelm = lax.fori_loop(
+            depth, hitm, steps, _, modelm, tnearv = lax.fori_loop(
                 0, n_act, slab_body, init
             )
         depth_ref[...] = depth.reshape(1, 1, LANES)
         hit_ref[...] = hitm.reshape(1, 1, LANES)
         steps_ref[...] = steps.reshape(1, 1, LANES)
         model_ref[...] = modelm.reshape(1, 1, LANES)
+        tnear_ref[...] = tnearv.reshape(1, 1, LANES)
 
     return kernel
 
@@ -792,6 +838,9 @@ def _row_tables(meta_shape_by_axis, supported, u0, vg, t_start, t_end, res, smax
         "force_all_active",
         "double_buffer",
         "early_exit",
+        "max_steps",
+        "min_step",
+        "nm_mult",
     ),
 )
 def _plane_sweep_core(
@@ -808,6 +857,9 @@ def _plane_sweep_core(
     force_all_active: bool = False,
     double_buffer: bool = True,
     early_exit: bool = True,
+    max_steps: int = 96,
+    min_step=None,
+    nm_mult: float = 0.75,
 ):
     """Plane-sweep depth for padded rays (N % 128 == 0). Returns
     (depth (N,), hit (N,) bool, steps (N,) i32, unresolved (N,) bool)."""
@@ -1005,8 +1057,10 @@ def _plane_sweep_core(
         else:
             vols.append(jnp.zeros((PB, BY, BZ), values.dtype))
 
-    kernel = _make_kernel(eps, t_max, smax, refine_iters, double_buffer, early_exit)
-    depth, hitm, steps, modelm = pl.pallas_call(
+    kernel = _make_kernel(
+        eps, t_max, smax, refine_iters, double_buffer, early_exit, nm_mult
+    )
+    depth, hitm, steps, modelm, tnearm = pl.pallas_call(
         kernel,
         grid=(R,),
         in_specs=[
@@ -1023,12 +1077,14 @@ def _plane_sweep_core(
             pl.BlockSpec((1, 1, LANES), lambda r: (r, 0, 0)),
             pl.BlockSpec((1, 1, LANES), lambda r: (r, 0, 0)),
             pl.BlockSpec((1, 1, LANES), lambda r: (r, 0, 0)),
+            pl.BlockSpec((1, 1, LANES), lambda r: (r, 0, 0)),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((R, 1, LANES), jnp.float32),
-            jax.ShapeDtypeStruct((R, 1, LANES), jnp.int32),
-            jax.ShapeDtypeStruct((R, 1, LANES), jnp.int32),
-            jax.ShapeDtypeStruct((R, 1, LANES), jnp.int32),
+            _out_struct(values, (R, 1, LANES), jnp.float32),
+            _out_struct(values, (R, 1, LANES), jnp.int32),
+            _out_struct(values, (R, 1, LANES), jnp.int32),
+            _out_struct(values, (R, 1, LANES), jnp.int32),
+            _out_struct(values, (R, 1, LANES), jnp.float32),
         ],
         scratch_shapes=[
             pltpu.VMEM((PB, BY, BZ), jnp.float32),
@@ -1049,48 +1105,31 @@ def _plane_sweep_core(
         unresolved_row[:, None], (R, LANES)
     ).reshape(N)
 
-    # ---- exact verification of model-proposed hits ------------------------
-    # Hits witnessed by exact in-band samples (sign crossings, first-sample
-    # immediate hits) are provably real. Hits proposed by the frozen-corner
-    # model (graze probes, entry/exit extrapolation) carry O(res)-scale model
-    # error near silhouettes and must be re-checked with exact queries:
-    # sample the corrected trilinear at KV points across one plane spacing
-    # around the reported depth; confirm (with the exact first below-eps t)
-    # or demote to miss. Budgeted to KR rays with static shapes.
+    # ---- exact verification + recovery tail --------------------------------
+    # Three correctness passes over the kernel's output, all with bounded
+    # static budgets (reference crossing semantics: the corrected-trilinear
+    # eps-crossing of /root/reference/include/sdf_tools/sdf.hpp:773-914, via
+    # ops/query.estimate_distance):
+    #  1. model-proposed HITS (graze / entry / exit classes): re-check with
+    #     exact trilinear samples across the proposing segment; confirm with
+    #     the exact first below-eps t or demote.
+    #  2. near-MISSES (kernel-tracked tnear: first sample/probe below
+    #     eps + nm_mult*spacing): the symmetric check — a true dip the
+    #     frozen-corner model under-sees becomes a verified hit. Also
+    #     applied to hits whose near-dip precedes the reported depth.
+    #  3. demoted / budget-overflow rays: RESUME by exact-marching just
+    #     those rays (compacted to KD), instead of reporting t_max or
+    #     triggering the full-image march fallback.
     depth_f = depth.reshape(N)
     hit_f = hitm.reshape(N) > 0
     model_f = modelm.reshape(N) > 0
-    flagged = hit_f & model_f
+    tnear_f = tnearm.reshape(N)
+    spacing_f = jnp.maximum(
+        jnp.abs(info["tc1"].reshape(N)), jnp.sqrt(3.0) * res
+    )
     from ..grid import GridMeta as _GridMeta, SdfGrid as _SdfGrid
     from . import query as _query
 
-    KR = min(16384, N)
-    KV = 33
-    _, idxs = lax.top_k(flagged.astype(jnp.int32), KR)
-    f_sel = flagged[idxs]
-    # rays flagged beyond the KR verification budget must NOT keep their
-    # unverified model hits (silent false positives): route the overflow
-    # into the exact-march fallback instead
-    selected = jnp.zeros((N,), bool).at[idxs].set(f_sel)
-    overflow = flagged & ~selected
-    unresolved = unresolved | overflow
-    n_flagged = jnp.sum(flagged)
-    tr = depth_f[idxs]
-    o_sel = origins[idxs]
-    v_sel = directions[idxs]
-    # near-tangent hits localize poorly along the ray (flat d(t) plus
-    # O(res) model error shifts the eps-crossing by many cells), but the
-    # true dip provably lies within the proposing pair segment. The pair
-    # segment's length along the ray is the per-ray plane spacing |tc1|
-    # (up to ~3.6*res at the slope cap), NOT a fixed multiple of res —
-    # scale the window per ray so graze dips near the segment ends stay
-    # covered, with a sqrt(3)*res floor for steep rays.
-    spacing = jnp.maximum(
-        jnp.abs(info["tc1"].reshape(N)[idxs]), jnp.sqrt(3.0) * res
-    )
-    offs = jnp.linspace(-1.25, 1.25, KV).astype(jnp.float32)
-    tsmp = tr[:, None] + offs[None, :] * spacing[:, None]
-    pts = o_sel[:, None, :] + tsmp[..., None] * v_sel[:, None, :]
     meta_v = _GridMeta(
         origin_transform=jnp.linalg.inv(inv_origin_transform.astype(jnp.float64)).astype(jnp.float32),
         inv_origin_transform=inv_origin_transform,
@@ -1101,19 +1140,109 @@ def _plane_sweep_core(
     sdf_v = _SdfGrid(
         values=values, meta=meta_v, oob_value=jnp.asarray(jnp.inf)
     )
-    dsm, oksm = _query.estimate_distance(sdf_v, pts)
-    below = oksm & (dsm < eps) & (tsmp >= t_min) & (tsmp <= t_max)
-    anyb = jnp.any(below, axis=1)
-    first = jnp.argmax(below, axis=1)
-    t_ver = jnp.take_along_axis(tsmp, first[:, None], axis=1)[:, 0]
-    new_hit_sel = jnp.where(f_sel, anyb, hit_f[idxs])
-    new_depth_sel = jnp.where(
-        f_sel,
-        jnp.where(anyb, t_ver, jnp.float32(t_max)),
-        depth_f[idxs],
+    KV = 33
+
+    def exact_window(idxs, t_center, active):
+        """Exact corrected-trilinear sampling of KV points across
+        t_center ± 1.25*spacing for the selected rays. The window is scaled
+        by the per-ray plane spacing |tc1| (up to ~3.6*res at the slope
+        cap), NOT a fixed multiple of res, so dips near the ends of the
+        proposing pair segment stay covered. Returns (any_below, t_first)."""
+        o_s = origins[idxs]
+        v_s = directions[idxs]
+        sp = spacing_f[idxs]
+        offs = jnp.linspace(-1.25, 1.25, KV).astype(jnp.float32)
+        tsmp = t_center[:, None] + offs[None, :] * sp[:, None]
+        pts = o_s[:, None, :] + tsmp[..., None] * v_s[:, None, :]
+        dsm, oksm = _query.estimate_distance(sdf_v, pts)
+        below = (
+            active[:, None]
+            & oksm
+            & (dsm < eps)
+            & (tsmp >= t_min)
+            & (tsmp <= t_max)
+        )
+        anyb = jnp.any(below, axis=1)
+        first = jnp.argmax(below, axis=1)
+        t_first = jnp.take_along_axis(tsmp, first[:, None], axis=1)[:, 0]
+        return anyb, t_first
+
+    # -- pass 1: verify model-proposed hits --
+    flagged = hit_f & model_f
+    KR = min(16384, N)
+    _, idxs = lax.top_k(flagged.astype(jnp.int32), KR)
+    f_sel = flagged[idxs]
+    selected = jnp.zeros((N,), bool).at[idxs].set(f_sel)
+    kr_overflow = flagged & ~selected  # beyond budget: exact-march below
+    n_flagged = jnp.sum(flagged)
+    anyb, t_ver = exact_window(idxs, depth_f[idxs], f_sel)
+    confirmed = f_sel & anyb
+    demoted_sel = f_sel & ~anyb
+    hit_f = hit_f.at[idxs].set(jnp.where(f_sel, confirmed, hit_f[idxs]))
+    depth_f = depth_f.at[idxs].set(
+        jnp.where(
+            f_sel,
+            jnp.where(confirmed, t_ver, jnp.float32(t_max)),
+            depth_f[idxs],
+        )
     )
-    hit_f = hit_f.at[idxs].set(new_hit_sel)
-    depth_f = depth_f.at[idxs].set(new_depth_sel)
+    demoted = jnp.zeros((N,), bool).at[idxs].set(demoted_sel)
+
+    # -- pass 2: verify near-misses (and early near-dips of hits) --
+    has_near = tnear_f < 0.5 * BIGF
+    nm_mask = (
+        has_near
+        & (~hit_f | (tnear_f < depth_f - spacing_f))
+        & ~unresolved
+    )
+    KN = min(16384, N)
+    _, nm_idxs = lax.top_k(nm_mask.astype(jnp.int32), KN)
+    nm_sel = nm_mask[nm_idxs]
+    nm_selected = jnp.zeros((N,), bool).at[nm_idxs].set(nm_sel)
+    nm_overflow = nm_mask & ~nm_selected & ~hit_f  # unverified possible miss
+    n_near = jnp.sum(nm_mask)
+    nm_anyb, nm_t = exact_window(nm_idxs, tnear_f[nm_idxs], nm_sel)
+    nm_conf = nm_sel & nm_anyb
+    old_hit = hit_f[nm_idxs]
+    old_depth = depth_f[nm_idxs]
+    hit_f = hit_f.at[nm_idxs].set(old_hit | nm_conf)
+    depth_f = depth_f.at[nm_idxs].set(
+        jnp.where(nm_conf, jnp.minimum(old_depth, nm_t), old_depth)
+    )
+    nm_confirmed = jnp.zeros((N,), bool).at[nm_idxs].set(nm_conf)
+
+    # -- pass 3: exact-march resume for demoted / overflow rays --
+    # A demoted model hit means the model was wrong somewhere near the
+    # reported depth; the ray's remaining path was never traced. Re-trace
+    # exactly from t_min (strictly stronger than resuming at the demotion
+    # point) — compacted so the cost is O(KD rays), not a full-image
+    # fallback. Budget overflow cascades to the global unresolved fallback.
+    march_mask = (demoted & ~nm_confirmed) | kr_overflow | nm_overflow
+    KD = min(4096, N)
+    _, md_idxs = lax.top_k(march_mask.astype(jnp.int32), KD)
+    md_sel = march_mask[md_idxs]
+    md_selected = jnp.zeros((N,), bool).at[md_idxs].set(md_sel)
+    unresolved = unresolved | (march_mask & ~md_selected)
+    n_resumed = jnp.sum(march_mask)
+    from . import render as _render
+
+    o_m = jnp.where(
+        md_sel[:, None], origins[md_idxs], jnp.float32(-1e7)
+    )  # dead rays miss the AABB instantly
+    v_m = directions[md_idxs]
+    d_m, h_m, _ = _render._trace_depth(
+        values, sdf_v, o_m, v_m, t_min, t_max, eps, max_steps, min_step
+    )
+    hit_f = hit_f.at[md_idxs].set(
+        jnp.where(md_sel, h_m, hit_f[md_idxs])
+    )
+    depth_f = depth_f.at[md_idxs].set(
+        jnp.where(
+            md_sel,
+            jnp.where(h_m, d_m, jnp.float32(t_max)),
+            depth_f[md_idxs],
+        )
+    )
 
     return (
         depth_f,
@@ -1122,6 +1251,8 @@ def _plane_sweep_core(
         unresolved,
         jnp.sum(n_act),
         n_flagged,
+        n_near,
+        n_resumed,
     )
 
 
@@ -1165,7 +1296,7 @@ def plane_sweep_depth(
     max_steps: int,
     min_step,
     refine_iters: int = 8,
-    interpret: bool = False,
+    interpret: bool | None = None,
     diag: bool = False,
 ):
     """Plane-sweep forward trace with XLA-march fallback for unresolved
@@ -1178,6 +1309,9 @@ def plane_sweep_depth(
     and fits the band with margin."""
     from . import render as _render
     from ..grid import SdfGrid
+
+    if interpret is None:
+        interpret = jax.default_backend() not in ("tpu", "axon")
 
     o = jnp.asarray(origins, jnp.float32)
     v = jnp.asarray(directions, jnp.float32)
@@ -1206,7 +1340,16 @@ def plane_sweep_depth(
         of = jnp.concatenate([of, pado], axis=0)
         vf = jnp.concatenate([vf, padv], axis=0)
 
-    depth, hit, steps, unresolved, n_act_total, n_flagged = _plane_sweep_core(
+    (
+        depth,
+        hit,
+        steps,
+        unresolved,
+        n_act_total,
+        n_flagged,
+        n_near,
+        n_resumed,
+    ) = _plane_sweep_core(
         values,
         meta.inv_origin_transform,
         meta.resolution,
@@ -1217,6 +1360,8 @@ def plane_sweep_depth(
         float(eps),
         refine_iters=refine_iters,
         interpret=interpret,
+        max_steps=max_steps,
+        min_step=min_step,
     )
 
     # exact-march fallback, executed only when some ray needs it
@@ -1255,6 +1400,8 @@ def plane_sweep_depth(
                 "unresolved": jnp.sum(unresolved),
                 "n_act": n_act_total,
                 "n_flagged": n_flagged,
+                "n_near_miss": n_near,
+                "n_resumed": n_resumed,
             },
         )
     return out

@@ -332,7 +332,7 @@ def sharded_render_depth(
     eps: float = 1e-3,
     max_steps: int = 96,
     min_step=None,
-    backend: str = "march",
+    backend: str = "auto",
 ):
     """Render depth for all rays over an x-sharded SDF; call inside shard_map.
 
