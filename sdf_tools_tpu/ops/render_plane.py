@@ -372,23 +372,29 @@ def _make_kernel(eps: float, t_max: float, smax: int, refine_iters: int, double_
             # the (1,128) threshold to the (17,128) plane array
             nm_thresh = eps + nm_mult * spacing
 
-            def near_min(dvals, tvals, mask):
-                return jnp.min(
-                    jnp.where(mask & (dvals < nm_thresh), tvals, BIGF),
-                    axis=0,
-                    keepdims=True,
+            # Mosaic has no f32 sublane min-reduce ("Sublane broadcast" not
+            # implemented); for non-negative floats IEEE order == int32
+            # order, so reduce bitcast views (ts clamped to >= 0)
+            def near_min_i(dvals, tvals, mask):
+                sel = jnp.where(
+                    mask & (dvals < nm_thresh),
+                    jnp.maximum(tvals, 0.0),
+                    BIGF,
                 )
+                ti = lax.bitcast_convert_type(sel, jnp.int32)
+                return jnp.min(ti, axis=0, keepdims=True)
 
-            t_near_slab = near_min(din, ta, pair_valid)
-            t_near_slab = jnp.minimum(t_near_slab, near_min(dout, tb, pair_valid))
-            t_near_slab = jnp.minimum(t_near_slab, near_min(dq1, tq1, pair_valid))
-            t_near_slab = jnp.minimum(t_near_slab, near_min(dmid, tmid, pair_valid))
-            t_near_slab = jnp.minimum(t_near_slab, near_min(dq3, tq3, pair_valid))
-            new_tnear = jnp.where(
-                (hitm == 0) & (tnear >= 0.5 * BIGF) & (t_near_slab < 0.5 * BIGF),
-                t_near_slab,
-                tnear,
-            )
+            tn_i = near_min_i(din, ta, pair_valid)
+            tn_i = jnp.minimum(tn_i, near_min_i(dout, tb, pair_valid))
+            tn_i = jnp.minimum(tn_i, near_min_i(dq1, tq1, pair_valid))
+            tn_i = jnp.minimum(tn_i, near_min_i(dmid, tmid, pair_valid))
+            tn_i = jnp.minimum(tn_i, near_min_i(dq3, tq3, pair_valid))
+            t_near_slab = lax.bitcast_convert_type(tn_i, jnp.float32)
+            # min over slabs == earliest near-candidate t (ts are absolute
+            # and slabs arrive in marching order; post-hit slabs only ever
+            # contribute larger ts, so no hit gate is needed). A compound
+            # where() here fails Mosaic legalization; minimum() lowers fine.
+            new_tnear = jnp.minimum(tnear, t_near_slab)
             cand = cross | graze
             tb_eff = jnp.where(graze, dip_t, tb)
 
@@ -1312,6 +1318,7 @@ def plane_sweep_depth(
 
     if interpret is None:
         interpret = jax.default_backend() not in ("tpu", "axon")
+    oob_value = jnp.asarray(oob_value, jnp.float32)
 
     o = jnp.asarray(origins, jnp.float32)
     v = jnp.asarray(directions, jnp.float32)

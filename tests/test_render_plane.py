@@ -220,3 +220,56 @@ def test_plane_sweep_boundary_slivers():
     # threshold) may resolve either way — same class of ambiguity the
     # march itself has
     assert correct >= NR - 8, (correct, NR)
+
+
+def test_silhouette_no_net_false_misses():
+    """Silhouette-heavy scene (sphere limb fills the image): against dense
+    ground truth of the corrected trilinear, the plane-sweep may not lose
+    hits on net — near-miss verification (kernel tnear tracking + exact
+    window re-query) must recover every true limb hit (VERDICT r2 item 2)."""
+    from sdf_tools_tpu.ops import query
+
+    sdf = _sphere_scene(shape=(64, 64, 256), res=0.1)
+    shape = sdf.meta.shape
+    res = 0.1
+    nx, ny, nz = shape
+    # camera aimed at the big sphere's limb: a band of rays grazes it
+    c1 = np.array([nx * 0.5, ny * 0.5, nz * 0.45]) * res
+    r1 = 0.2 * ny * res
+    limb = c1 + np.array([0.0, 0.0, r1])  # top of the sphere
+    pos = limb + np.array([-nx * res * 1.5, 0.0, 0.0])
+    origins, dirs = render.camera_rays(
+        jnp.asarray(pos, jnp.float32), jnp.asarray(limb, jnp.float32),
+        jnp.asarray([0.0, 0.0, 1.0]), 6.0, 16, 16,
+    )
+    t_max, eps = 40.0, 1e-3
+    d_ps, h_ps, _, diag = render_plane.plane_sweep_depth(
+        sdf.values, sdf.meta, jnp.inf, origins, dirs,
+        0.0, t_max, eps, 96, None, interpret=True, diag=True,
+    )
+    assert int(diag["unresolved"]) == 0, "fallback would make this vacuous"
+
+    # dense ground truth: first below-eps crossing of the exact corrected
+    # trilinear along each ray (4096 samples over the full window)
+    of = np.asarray(origins.reshape(-1, 3))
+    vf = np.asarray(dirs.reshape(-1, 3))
+    ts = np.linspace(1e-3, t_max, 4096).astype(np.float32)
+    pts = of[:, None, :] + ts[None, :, None] * vf[:, None, :]
+    dsm, ok = query.estimate_distance(sdf, jnp.asarray(pts))
+    below = np.asarray(ok & (dsm < eps))
+    truth_hit = below.any(axis=1)
+    h = np.asarray(h_ps).reshape(-1)
+    assert truth_hit.any() and (~truth_hit).any(), "scene must mix hit/miss"
+    false_miss = int((truth_hit & ~h).sum())
+    false_hit = int((~truth_hit & h).sum())
+    assert false_miss == 0, (
+        f"{false_miss} false misses (false hits: {false_hit}); "
+        "near-miss verification must recover true silhouette hits"
+    )
+    # confirmed hits must sit at the true crossing depth (within the
+    # ground truth's own sampling step)
+    first = below.argmax(axis=1)
+    t_true = ts[first]
+    both = truth_hit & h
+    dt = np.abs(np.asarray(d_ps).reshape(-1)[both] - t_true[both])
+    assert float(dt.max()) < 0.15, f"depth err {dt.max():.3f}"
