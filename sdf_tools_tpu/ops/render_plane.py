@@ -140,7 +140,7 @@ def _corner_gather(band_v, ry, rz):
     return v00, v01, v10, v11
 
 
-def _make_kernel(eps: float, t_max: float, smax: int, refine_iters: int, double_buffer: bool = True, early_exit: bool = True, nm_mult: float = 0.75):
+def _make_kernel(eps: float, t_max: float, smax: int, refine_iters: int, double_buffer: bool = True, early_exit: bool = True, nm_mult: float = 0.5):
     def kernel(
         tab_ref,
         ch_ref,
@@ -369,8 +369,12 @@ def _make_kernel(eps: float, t_max: float, smax: int, refine_iters: int, double_
             # (the symmetric counterpart of the model-hit verification —
             # NOTES §11(a), VERDICT r2 item 2).
             # (8,128) pair-slice shapes only: Mosaic cannot sublane-broadcast
-            # the (1,128) threshold to the (17,128) plane array
-            nm_thresh = eps + nm_mult * spacing
+            # the (1,128) threshold to the (17,128) plane array.
+            # Threshold scales with RES (the frozen-corner model's error is
+            # O(res) near silhouettes, NOTES §11), NOT with plane spacing —
+            # a spacing-scaled threshold flagged ~9% of all rays (every
+            # surface-adjacent trace) and cascaded into the full fallback.
+            nm_thresh = eps + nm_mult * (2.0 * half)
 
             # Mosaic has no f32 sublane min-reduce ("Sublane broadcast" not
             # implemented); for non-negative floats IEEE order == int32
@@ -865,7 +869,7 @@ def _plane_sweep_core(
     early_exit: bool = True,
     max_steps: int = 96,
     min_step=None,
-    nm_mult: float = 0.75,
+    nm_mult: float = 0.5,
 ):
     """Plane-sweep depth for padded rays (N % 128 == 0). Returns
     (depth (N,), hit (N,) bool, steps (N,) i32, unresolved (N,) bool)."""
@@ -1196,9 +1200,12 @@ def _plane_sweep_core(
 
     # -- pass 2: verify near-misses (and early near-dips of hits) --
     has_near = tnear_f < 0.5 * BIGF
+    # miss rays: any near-dip qualifies. hit rays: only a dip clearly
+    # EARLIER than the reported depth (the approach samples right before a
+    # genuine crossing always dip below the threshold — not a near-miss)
     nm_mask = (
         has_near
-        & (~hit_f | (tnear_f < depth_f - spacing_f))
+        & (~hit_f | (tnear_f < depth_f - 2.5 * spacing_f))
         & ~unresolved
     )
     KN = min(16384, N)
