@@ -71,6 +71,9 @@ def main():
                 r[5],
                 r[6],
                 r[7],
+                r[8][0],
+                r[8][1],
+                r[8][2],
             )
             for r in [core(v, o_, v_)]
         )[0]
@@ -86,7 +89,8 @@ def main():
         f"hits={out[1]:.0f} steps={out[2]:.0f} unresolved={out[3]:.0f} "
         f"n_act_total={out[4]:.0f} (avg {out[4]/rows:.2f}/row, "
         f"{out[2]/(h*w):.1f} samples/ray) flagged_hits={out[5]:.0f} "
-        f"near_miss={out[6]:.0f} resumed={out[7]:.0f}",
+        f"near_miss={out[6]:.0f} resumed={out[7]:.0f} "
+        f"classes e/g/x={out[8]:.0f}/{out[9]:.0f}/{out[10]:.0f}",
         flush=True,
     )
 

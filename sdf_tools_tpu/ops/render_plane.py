@@ -350,6 +350,16 @@ def _make_kernel(eps: float, t_max: float, smax: int, refine_iters: int, double_
                 tq1,
                 jnp.where(dmid < eps, tmid, jnp.where(dq3 < eps, tq3, BIGF)),
             )
+            dip_min = jnp.minimum(dq1, jnp.minimum(dmid, dq3))
+            # Fire a graze HIT only on DEEP dips (model min clearly below
+            # eps): the frozen-corner model's O(res) silhouette error makes
+            # shallow dips fire one pair before a genuine crossing on ~10%
+            # of all rays (measured 102k flagged hits/Mray), flooding the
+            # exact-verification budget. Shallow dips are instead recorded
+            # by the tnear tracking below: if a real hit follows they cost
+            # nothing; if the ray misses, the near-miss verification pass
+            # re-checks them exactly.
+            deep = dip_min < eps - 2.0 * half  # eps - res
             graze = (
                 pair_valid
                 & ~cross
@@ -357,6 +367,7 @@ def _make_kernel(eps: float, t_max: float, smax: int, refine_iters: int, double_
                 & (dout >= eps)
                 & (jnp.minimum(din, dout) < 1.1 * spacing)
                 & (dip_t < BIGF)
+                & deep
             )
 
             # ---- near-miss tracking --------------------------------------
@@ -631,10 +642,14 @@ def _make_kernel(eps: float, t_max: float, smax: int, refine_iters: int, double_
                 jnp.sum((sel & graze).astype(jnp.int32), axis=0, keepdims=True)
                 > 0
             )
-            model_now = (hitm == 0) & (
-                any_entry | (found & graze_sel) | exit_cross | exit_graze
+            unhit = hitm == 0
+            new_model = modelm | jnp.where(
+                unhit & any_entry, 1, 0
+            ) | jnp.where(
+                unhit & (found & graze_sel), 2, 0
+            ) | jnp.where(
+                unhit & (exit_cross | exit_graze), 4, 0
             )
-            new_model = modelm | model_now.astype(jnp.int32)
             new_steps = steps + jnp.sum(
                 (valid & (hitm == 0)).astype(jnp.int32), axis=0, keepdims=True
             )
@@ -1150,7 +1165,7 @@ def _plane_sweep_core(
     sdf_v = _SdfGrid(
         values=values, meta=meta_v, oob_value=jnp.asarray(jnp.inf)
     )
-    KV = 33
+    KV = 25
 
     def exact_window(idxs, t_center, active):
         """Exact corrected-trilinear sampling of KV points across
@@ -1179,7 +1194,11 @@ def _plane_sweep_core(
 
     # -- pass 1: verify model-proposed hits --
     flagged = hit_f & model_f
-    KR = min(16384, N)
+    model_bits = modelm.reshape(N)
+    n_entry = jnp.sum((model_bits & 1) > 0)
+    n_graze = jnp.sum((model_bits & 2) > 0)
+    n_exit = jnp.sum((model_bits & 4) > 0)
+    KR = min(8192, N)
     _, idxs = lax.top_k(flagged.astype(jnp.int32), KR)
     f_sel = flagged[idxs]
     selected = jnp.zeros((N,), bool).at[idxs].set(f_sel)
@@ -1205,10 +1224,10 @@ def _plane_sweep_core(
     # genuine crossing always dip below the threshold — not a near-miss)
     nm_mask = (
         has_near
-        & (~hit_f | (tnear_f < depth_f - 2.5 * spacing_f))
+        & (~hit_f | (tnear_f < depth_f - 1.25 * spacing_f))
         & ~unresolved
     )
-    KN = min(16384, N)
+    KN = min(8192, N)
     _, nm_idxs = lax.top_k(nm_mask.astype(jnp.int32), KN)
     nm_sel = nm_mask[nm_idxs]
     nm_selected = jnp.zeros((N,), bool).at[nm_idxs].set(nm_sel)
@@ -1231,7 +1250,7 @@ def _plane_sweep_core(
     # point) — compacted so the cost is O(KD rays), not a full-image
     # fallback. Budget overflow cascades to the global unresolved fallback.
     march_mask = (demoted & ~nm_confirmed) | kr_overflow | nm_overflow
-    KD = min(4096, N)
+    KD = min(2048, N)
     _, md_idxs = lax.top_k(march_mask.astype(jnp.int32), KD)
     md_sel = march_mask[md_idxs]
     md_selected = jnp.zeros((N,), bool).at[md_idxs].set(md_sel)
@@ -1266,6 +1285,7 @@ def _plane_sweep_core(
         n_flagged,
         n_near,
         n_resumed,
+        (n_entry, n_graze, n_exit),
     )
 
 
@@ -1363,6 +1383,7 @@ def plane_sweep_depth(
         n_flagged,
         n_near,
         n_resumed,
+        class_counts,
     ) = _plane_sweep_core(
         values,
         meta.inv_origin_transform,
@@ -1416,6 +1437,9 @@ def plane_sweep_depth(
                 "n_flagged": n_flagged,
                 "n_near_miss": n_near,
                 "n_resumed": n_resumed,
+                "n_entry": class_counts[0],
+                "n_graze": class_counts[1],
+                "n_exit": class_counts[2],
             },
         )
     return out
