@@ -114,7 +114,7 @@ def main():
 
     # validation vs the XLA march — separate jits (a single fused program
     # exceeds the remote-compile request limit)
-    f_ps = jax.jit(lambda v, o_, v_: core(v, o_, v_)[:2])
+    f_ps = jax.jit(lambda v, o_, v_: core(v, o_, v_)[:4])
     from sdf_tools_tpu.grid import SdfGrid
 
     f_ref = jax.jit(
@@ -123,12 +123,18 @@ def main():
             o, d, t_max=t_max, max_steps=64, backend="march",
         )[:2]
     )
-    d_ps, h_ps = f_ps(sdf.values, ofj, vfj)
+    d_ps, h_ps, _, unres_ps = f_ps(sdf.values, ofj, vfj)
     print("compiling XLA march...", flush=True)
     rd, rh = f_ref(sdf.values, origins, dirs)
     permj = jnp.asarray(perm)
     rd = rd.reshape(-1)[permj]  # match the tile ordering of the ps outputs
     rh = rh.reshape(-1)[permj]
+    # apply the product-level fallback (plane_sweep_depth does exactly this
+    # merge): unresolved rays take the exact march's result — comparing the
+    # raw kernel output for them scores junk that users never see
+    d_ps = jnp.where(unres_ps, rd, d_ps)
+    h_ps = jnp.where(unres_ps, rh, h_ps)
+    print(f"fallback-merged rays: {int(jnp.sum(unres_ps))}", flush=True)
 
     def cmp_stats(d1, h1, d2, h2):
         both = h1 & h2

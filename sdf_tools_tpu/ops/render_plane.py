@@ -1199,6 +1199,42 @@ def _plane_sweep_core(
         t_first = jnp.take_along_axis(tsmp, first[:, None], axis=1)[:, 0]
         return anyb, t_first
 
+
+    def compact_indices(mask, K, priority=None):
+        """First-K (or priority-ranked) true indices of ``mask`` without a
+        1M-element top_k (measured to dominate the tail): an exclusive
+        cumsum assigns each true element its output slot, a drop-mode
+        scatter materializes the index list. With ``priority`` (small int,
+        higher = more important), higher classes fill first.
+        Returns (idxs [K], sel [K] bool, overflow_mask [N])."""
+        if priority is None:
+            m = mask.astype(jnp.int32)
+            pos = jnp.cumsum(m) - m  # exclusive scan
+            slot = jnp.where(mask & (pos < K), pos, K)
+            idxs = jnp.zeros((K,), jnp.int32).at[slot].set(
+                jnp.arange(N, dtype=jnp.int32), mode="drop"
+            )
+            sel = jnp.zeros((K,), bool).at[slot].set(mask, mode="drop")
+            overflow = mask & (pos >= K)
+            return idxs, sel, overflow
+        # two classes: fill class-2 first, then class-1 into the remainder
+        hi = priority >= 2
+        lo = mask & ~hi
+        mh = hi.astype(jnp.int32)
+        ph = jnp.cumsum(mh) - mh
+        n_hi = jnp.minimum(jnp.sum(mh), K)
+        ml = lo.astype(jnp.int32)
+        pl = jnp.cumsum(ml) - ml + n_hi
+        pos = jnp.where(hi, ph, pl)
+        ok = (hi & (ph < K)) | (lo & (pl < K))
+        slot = jnp.where(ok, pos, K)
+        idxs = jnp.zeros((K,), jnp.int32).at[slot].set(
+            jnp.arange(N, dtype=jnp.int32), mode="drop"
+        )
+        sel = jnp.zeros((K,), bool).at[slot].set(mask, mode="drop")
+        overflow = mask & ~ok
+        return idxs, sel, overflow
+
     # -- pass 1: verify model-proposed hits --
     flagged = hit_f & model_f
     model_bits = modelm.reshape(N)
@@ -1206,10 +1242,7 @@ def _plane_sweep_core(
     n_graze = jnp.sum((model_bits & 2) > 0)
     n_exit = jnp.sum((model_bits & 4) > 0)
     KR = min(8192, N)
-    _, idxs = lax.top_k(flagged.astype(jnp.int32), KR)
-    f_sel = flagged[idxs]
-    selected = jnp.zeros((N,), bool).at[idxs].set(f_sel)
-    kr_overflow = flagged & ~selected  # beyond budget: exact-march below
+    idxs, f_sel, kr_overflow = compact_indices(flagged, KR)
     n_flagged = jnp.sum(flagged)
     anyb, t_ver = exact_window(idxs, depth_f[idxs], f_sel)
     confirmed = f_sel & anyb
@@ -1226,19 +1259,21 @@ def _plane_sweep_core(
 
     # -- pass 2: verify near-misses (and early near-dips of hits) --
     has_near = tnear_f < 0.5 * BIGF
-    # miss rays: any near-dip qualifies. hit rays: only a dip clearly
-    # EARLIER than the reported depth (the approach samples right before a
-    # genuine crossing always dip below the threshold — not a near-miss)
-    nm_mask = (
-        has_near
-        & (~hit_f | (tnear_f < depth_f - 1.25 * spacing_f))
-        & ~unresolved
+    # miss rays: any near-dip qualifies (these are the VERDICT's near-miss
+    # class and take budget priority). hit rays: only a dip CLEARLY earlier
+    # than the reported depth is re-dated (a separate surface graze; the
+    # approach samples right before a genuine crossing always dip below the
+    # threshold and are not near-misses).
+    nm_miss = has_near & ~hit_f & ~unresolved
+    nm_redate = (
+        has_near & hit_f & (tnear_f < depth_f - 4.0 * spacing_f) & ~unresolved
     )
+    nm_mask = nm_miss | nm_redate
     KN = min(8192, N)
-    _, nm_idxs = lax.top_k(nm_mask.astype(jnp.int32), KN)
-    nm_sel = nm_mask[nm_idxs]
-    nm_selected = jnp.zeros((N,), bool).at[nm_idxs].set(nm_sel)
-    nm_overflow = nm_mask & ~nm_selected & ~hit_f  # unverified possible miss
+    nm_idxs, nm_sel, nm_overflow_all = compact_indices(
+        nm_mask, KN, priority=2 * nm_miss.astype(jnp.int32) + nm_redate.astype(jnp.int32)
+    )
+    nm_overflow = nm_overflow_all & ~hit_f  # unverified possible miss
     n_near = jnp.sum(nm_mask)
     nm_anyb, nm_t = exact_window(nm_idxs, tnear_f[nm_idxs], nm_sel)
     nm_conf = nm_sel & nm_anyb
@@ -1258,10 +1293,8 @@ def _plane_sweep_core(
     # fallback. Budget overflow cascades to the global unresolved fallback.
     march_mask = (demoted & ~nm_confirmed) | kr_overflow | nm_overflow
     KD = min(2048, N)
-    _, md_idxs = lax.top_k(march_mask.astype(jnp.int32), KD)
-    md_sel = march_mask[md_idxs]
-    md_selected = jnp.zeros((N,), bool).at[md_idxs].set(md_sel)
-    unresolved = unresolved | (march_mask & ~md_selected)
+    md_idxs, md_sel, md_overflow = compact_indices(march_mask, KD)
+    unresolved = unresolved | md_overflow
     n_resumed = jnp.sum(march_mask)
     from . import render as _render
 
