@@ -93,18 +93,20 @@ def bench_render(mask: np.ndarray, repeats: int = 3):
     )
     # scalar-fetch timing: see bench_tpu for why block_until_ready is not
     # sufficient through the axon tunnel
+    # origins/dirs passed as ARGS: closing over device arrays constant-folds
+    # them into the AOT compile (observed to miscompute scatter patterns)
     f = jax.jit(
-        lambda s: jnp.mean(
+        lambda s, o, d: jnp.mean(
             render.render_depth(
-                s, origins, dirs, t_max=4.0 * n * res, max_steps=64
+                s, o, d, t_max=4.0 * n * res, max_steps=64
             ).depth
         )
     )
-    mean_depth = float(f(sdf))  # compile + warm
+    mean_depth = float(f(sdf, origins, dirs))  # compile + warm
     times = []
     for _ in range(repeats):
         t0 = time.perf_counter()
-        mean_depth = float(f(sdf))
+        mean_depth = float(f(sdf, origins, dirs))
         times.append(time.perf_counter() - t0)
     t = float(np.median(times))
     return h * w / t, t, mean_depth
@@ -138,18 +140,21 @@ def bench_render_bwd(mask: np.ndarray, repeats: int = 3):
 
     from sdf_tools_tpu.grid import SdfGrid
 
-    def loss(values):
+    def loss(values, o, d):
         s = SdfGrid(values=values, meta=meta, oob_value=sdf.oob_value)
-        r = render.render_depth(s, origins, dirs, t_max=4.0 * n * res, max_steps=64)
+        r = render.render_depth(s, o, d, t_max=4.0 * n * res, max_steps=64)
         return jnp.sum(r.depth**2)
 
-    # scalar-fetch timing (docs/NOTES.md §8): sum the gradient on device
-    f = jax.jit(lambda v: jnp.sum(jax.grad(loss)(v)) + loss(v))
-    _ = float(f(sdf.values))
+    # scalar-fetch timing (docs/NOTES.md §8): sum the gradient on device;
+    # rays passed as args (closure constant-folding hazard, see bench_render)
+    f = jax.jit(
+        lambda v, o, d: jnp.sum(jax.grad(loss)(v, o, d)) + loss(v, o, d)
+    )
+    _ = float(f(sdf.values, origins, dirs))
     times = []
     for _ in range(repeats):
         t0 = time.perf_counter()
-        _ = float(f(sdf.values))
+        _ = float(f(sdf.values, origins, dirs))
         times.append(time.perf_counter() - t0)
     t = float(np.median(times))
     return h * w / t, t

@@ -149,6 +149,72 @@ def main():
         )
 
     c = [float(x) for x in jax.jit(cmp_stats)(d_ps, h_ps, rd, rh)]
+
+    # global witnessed false-miss / false-hit counts: the honest headline.
+    # A hit is REAL iff an exact below-eps sample exists within +-res/2 of
+    # its reported depth (65 samples).
+    def witnessed_counts(values, rh_, h_ps_, rd_, d_ps_, ofj_, vfj_):
+        # NB: all arrays passed as ARGUMENTS — closing over device arrays
+        # constant-folds them into the AOT compile, which miscomputed the
+        # scatter-compaction (sel sum 69 vs the correct 3972, verified by
+        # an unjitted step-by-step run)
+        from sdf_tools_tpu.ops import query
+
+        s = SdfGrid(values=values, meta=sdf.meta, oob_value=sdf.oob_value)
+
+        def flip_witness(flip_mask, dpth):
+            K = 8192
+            m = flip_mask.astype(jnp.int32)
+            pos = jnp.cumsum(m) - m
+            slot = jnp.where(flip_mask & (pos < K), pos, K)
+            nidx = jnp.zeros((K,), jnp.int32).at[slot].set(
+                jnp.arange(flip_mask.shape[0], dtype=jnp.int32), mode="drop")
+            sel = jnp.zeros((K,), bool).at[slot].set(flip_mask, mode="drop")
+            oo, vv = ofj_[nidx], vfj_[nidx]
+            offs = jnp.linspace(-0.5 * res, 0.5 * res, 65)
+            tw = dpth[nidx][:, None] + offs[None, :]
+            pw = oo[:, None, :] + tw[..., None] * vv[:, None, :]
+            dv, okw = query.estimate_distance(s, pw)
+            wit = sel & jnp.any(okw & (dv < eps) & (tw > 0), axis=1)
+            return jnp.sum(flip_mask), jnp.sum(wit), jnp.sum(flip_mask) - (
+                jnp.sum(sel.astype(jnp.int32))
+            )
+
+        march_only = rh_ & ~h_ps_
+        plane_only = h_ps_ & ~rh_
+        a = flip_witness(march_only, rd_)
+        b = flip_witness(plane_only, d_ps_)
+        return a + b
+
+    eps = 1e-3
+    import os as _os
+    if _os.environ.get("PS_DEBUG_WITNESS") == "1":
+        K = 8192
+        mo = rh & ~h_ps
+        print("debug: march_only", int(jnp.sum(mo)))
+        m = mo.astype(jnp.int32)
+        pos = jnp.cumsum(m) - m
+        print("debug: pos max at trues", int(jnp.max(jnp.where(mo, pos, -1))))
+        slot = jnp.where(mo & (pos < K), pos, K)
+        print("debug: in-range slots", int(jnp.sum(slot < K)))
+        sel = jnp.zeros((K,), bool).at[slot].set(mo, mode="drop")
+        print("debug: sel sum", int(jnp.sum(sel)))
+        nidx = jnp.zeros((K,), jnp.int32).at[slot].set(
+            jnp.arange(mo.shape[0], dtype=jnp.int32), mode="drop")
+        print("debug: mask at nidx[sel]", int(jnp.sum(mo[nidx] & sel)))
+    w = [
+        float(x)
+        for x in jax.jit(witnessed_counts)(
+            sdf.values, rh, h_ps, rd, d_ps, ofj, vfj
+        )
+    ]
+    print(
+        f"march-only hits {w[0]:.0f} (witnessed real: {w[1]:.0f} = plane "
+        f"FALSE MISSES; beyond-budget {w[2]:.0f}) | plane-only hits "
+        f"{w[3]:.0f} (witnessed real: {w[4]:.0f} = march false misses; "
+        f"beyond-budget {w[5]:.0f})",
+        flush=True,
+    )
     nboth = max(c[2], 1.0)
     print(
         f"hits ps={c[0]:.0f} ref={c[1]:.0f} both={c[2]:.0f} "
@@ -168,13 +234,15 @@ def main():
     top = jnp.argsort(-score)[:NS]
     eps = 1e-3
 
-    def adjudicate(values, idx):
+    def adjudicate(values, idx, ofj, vfj, d_ps, h_ps, rd, rh):
         """Witness-based ground truth: the corrected trilinear IS the field,
         so an exact below-eps query point PROVES a hit; grazing dips can be
         narrower than any uniform scan step (both the march's ~res/2 steps
         and a 16384-sample scan walk over them), so each renderer's reported
         depth also gets a fine exact witness window. A miss is correct only
-        when no witness exists (coarse scan + both windows)."""
+        when no witness exists (coarse scan + both windows).
+        All arrays are ARGUMENTS: closing over device arrays constant-folds
+        them into the AOT compile, which miscomputes (see witnessed_counts)."""
         oo = ofj[idx]
         vv = vfj[idx]
         s = SdfGrid(values=values, meta=sdf.meta, oob_value=sdf.oob_value)
@@ -222,7 +290,10 @@ def main():
         )
 
     a_ps, a_ref, n_true_hit = [
-        float(x) for x in jax.jit(adjudicate)(sdf.values, top)
+        float(x)
+        for x in jax.jit(adjudicate)(
+            sdf.values, top, ofj, vfj, d_ps, h_ps, rd, rh
+        )
     ]
     print(
         f"adjudication on {NS} worst-disagreement rays (witness-based exact "

@@ -390,20 +390,23 @@ def _make_kernel(eps: float, t_max: float, smax: int, refine_iters: int, double_
             # Mosaic has no f32 sublane min-reduce ("Sublane broadcast" not
             # implemented); for non-negative floats IEEE order == int32
             # order, so reduce bitcast views (ts clamped to >= 0)
-            def near_min_i(dvals, tvals, mask):
-                sel = jnp.where(
+            def near_cand(dvals, tvals, mask):
+                return jnp.where(
                     mask & (dvals < nm_thresh),
                     jnp.maximum(tvals, 0.0),
                     BIGF,
                 )
-                ti = lax.bitcast_convert_type(sel, jnp.int32)
-                return jnp.min(ti, axis=0, keepdims=True)
 
-            tn_i = near_min_i(din, ta, pair_valid)
-            tn_i = jnp.minimum(tn_i, near_min_i(dout, tb, pair_valid))
-            tn_i = jnp.minimum(tn_i, near_min_i(dq1, tq1, pair_valid))
-            tn_i = jnp.minimum(tn_i, near_min_i(dmid, tmid, pair_valid))
-            tn_i = jnp.minimum(tn_i, near_min_i(dq3, tq3, pair_valid))
+            # elementwise f32 mins across the five candidate sets, then ONE
+            # sublane reduce on the bitcast int32 view
+            cand = near_cand(din, ta, pair_valid)
+            cand = jnp.minimum(cand, near_cand(dout, tb, pair_valid))
+            cand = jnp.minimum(cand, near_cand(dq1, tq1, pair_valid))
+            cand = jnp.minimum(cand, near_cand(dmid, tmid, pair_valid))
+            cand = jnp.minimum(cand, near_cand(dq3, tq3, pair_valid))
+            tn_i = jnp.min(
+                lax.bitcast_convert_type(cand, jnp.int32), axis=0, keepdims=True
+            )
             t_near_slab = lax.bitcast_convert_type(tn_i, jnp.float32)
             # min over slabs == earliest near-candidate t (ts are absolute
             # and slabs arrive in marching order; post-hit slabs only ever
@@ -1136,6 +1139,16 @@ def _plane_sweep_core(
     unresolved = jnp.broadcast_to(
         unresolved_row[:, None], (R, LANES)
     ).reshape(N)
+
+    import os as _os
+
+    if _os.environ.get("PS_TAIL", "1") == "0":  # perf ablation knob
+        zero = jnp.zeros((), jnp.int32)
+        return (
+            depth.reshape(N), hitm.reshape(N) > 0, steps.reshape(N),
+            unresolved, jnp.sum(n_act), zero, zero, zero,
+            (zero, zero, zero),
+        )
 
     # ---- exact verification + recovery tail --------------------------------
     # Three correctness passes over the kernel's output, all with bounded
