@@ -114,7 +114,11 @@ def main():
 
     # validation vs the XLA march — separate jits (a single fused program
     # exceeds the remote-compile request limit)
-    f_ps = jax.jit(lambda v, o_, v_: core(v, o_, v_)[:4])
+    def _ps_outputs(v, o_, v_):
+        r = core(v, o_, v_)
+        return r[0], r[1], r[2], r[3], r[9], r[10]
+
+    f_ps = jax.jit(_ps_outputs)
     from sdf_tools_tpu.grid import SdfGrid
 
     f_ref = jax.jit(
@@ -123,7 +127,7 @@ def main():
             o, d, t_max=t_max, max_steps=64, backend="march",
         )[:2]
     )
-    d_ps, h_ps, _, unres_ps = f_ps(sdf.values, ofj, vfj)
+    d_ps, h_ps, _, unres_ps, tnear_ps, mbits_ps = f_ps(sdf.values, ofj, vfj)
     print("compiling XLA march...", flush=True)
     rd, rh = f_ref(sdf.values, origins, dirs)
     permj = jnp.asarray(perm)
@@ -153,7 +157,7 @@ def main():
     # global witnessed false-miss / false-hit counts: the honest headline.
     # A hit is REAL iff an exact below-eps sample exists within +-res/2 of
     # its reported depth (65 samples).
-    def witnessed_counts(values, rh_, h_ps_, rd_, d_ps_, ofj_, vfj_):
+    def witnessed_counts(values, rh_, h_ps_, rd_, d_ps_, ofj_, vfj_, tn_, sp_):
         # NB: all arrays passed as ARGUMENTS — closing over device arrays
         # constant-folds them into the AOT compile, which miscomputed the
         # scatter-compaction (sel sum 69 vs the correct 3972, verified by
@@ -162,7 +166,7 @@ def main():
 
         s = SdfGrid(values=values, meta=sdf.meta, oob_value=sdf.oob_value)
 
-        def flip_witness(flip_mask, dpth):
+        def flip_witness(flip_mask, dpth, halfwidth):
             K = 8192
             m = flip_mask.astype(jnp.int32)
             pos = jnp.cumsum(m) - m
@@ -171,8 +175,8 @@ def main():
                 jnp.arange(flip_mask.shape[0], dtype=jnp.int32), mode="drop")
             sel = jnp.zeros((K,), bool).at[slot].set(flip_mask, mode="drop")
             oo, vv = ofj_[nidx], vfj_[nidx]
-            offs = jnp.linspace(-0.5 * res, 0.5 * res, 65)
-            tw = dpth[nidx][:, None] + offs[None, :]
+            offs = jnp.linspace(-1.0, 1.0, 65)
+            tw = dpth[nidx][:, None] + offs[None, :] * halfwidth[nidx][:, None]
             pw = oo[:, None, :] + tw[..., None] * vv[:, None, :]
             dv, okw = query.estimate_distance(s, pw)
             wit = sel & jnp.any(okw & (dv < eps) & (tw > 0), axis=1)
@@ -182,9 +186,27 @@ def main():
 
         march_only = rh_ & ~h_ps_
         plane_only = h_ps_ & ~rh_
-        a = flip_witness(march_only, rd_)
-        b = flip_witness(plane_only, d_ps_)
-        return a + b
+        halfw = jnp.full_like(rd_, 0.5 * res)
+        a = flip_witness(march_only, rd_, halfw)
+        # the plane's crossing depths carry O(plane spacing) model-refine
+        # imprecision; judge them over the pair segment like verification
+        b = flip_witness(plane_only, d_ps_, 1.25 * sp_)
+        # false-miss diagnosis: of the witnessed march-only hits, how many
+        # had a near-candidate (tnear set) and how near was it to the true
+        # depth (window coverage)?
+        fm = march_only
+        has_tn = tn_ < 1e29
+        covered = jnp.abs(tn_ - rd_) <= 1.25 * sp_
+        # slope/spacing profile: are false misses the high-slope rays?
+        sp_fm = jnp.where(fm, sp_, 0.0)
+        sp_all_mean = jnp.mean(sp_)
+        sp_fm_mean = jnp.sum(sp_fm) / jnp.maximum(jnp.sum(fm), 1)
+        return a + b + (
+            jnp.sum(fm & has_tn),
+            jnp.sum(fm & has_tn & covered),
+            sp_fm_mean,
+            sp_all_mean,
+        )
 
     eps = 1e-3
     import os as _os
@@ -202,17 +224,38 @@ def main():
         nidx = jnp.zeros((K,), jnp.int32).at[slot].set(
             jnp.arange(mo.shape[0], dtype=jnp.int32), mode="drop")
         print("debug: mask at nidx[sel]", int(jnp.sum(mo[nidx] & sel)))
+    import os as _os
+    # per-ray plane spacing ~ |tc1| = res/|v_dominant| (unit directions)
+    vmax_comp = jnp.max(jnp.abs(vfj), axis=1)
+    spacing_full = jnp.maximum(res / jnp.maximum(vmax_comp, 1e-6), res)
     w = [
         float(x)
         for x in jax.jit(witnessed_counts)(
-            sdf.values, rh, h_ps, rd, d_ps, ofj, vfj
+            sdf.values, rh, h_ps, rd, d_ps, ofj, vfj, tnear_ps, spacing_full
         )
     ]
+    # class of unwitnessed plane-only hits (entry bit vs exact classes)
+    po = h_ps & ~rh
+    n_po_entry = int(jnp.sum(po & ((mbits_ps & 1) > 0)))
+    print(f"plane-only by class: entry-bit {n_po_entry} of {int(jnp.sum(po))}",
+          flush=True)
+    if _os.environ.get("PS_DUMP"):
+        np.savez(
+            _os.environ["PS_DUMP"],
+            fm=np.asarray(rh & ~h_ps),
+            po=np.asarray(po),
+            rd=np.asarray(rd),
+            d_ps=np.asarray(d_ps),
+            tnear=np.asarray(tnear_ps),
+            mbits=np.asarray(mbits_ps),
+        )
+        print("dumped to", _os.environ["PS_DUMP"], flush=True)
     print(
         f"march-only hits {w[0]:.0f} (witnessed real: {w[1]:.0f} = plane "
         f"FALSE MISSES; beyond-budget {w[2]:.0f}) | plane-only hits "
-        f"{w[3]:.0f} (witnessed real: {w[4]:.0f} = march false misses; "
-        f"beyond-budget {w[5]:.0f})",
+        f"{w[3]:.0f} (witnessed real: {w[4]:.0f}; beyond-budget {w[5]:.0f}) "
+        f"| false-miss diagnosis: tnear set {w[6]:.0f}, within-window "
+        f"{w[7]:.0f}, spacing mean fm={w[8]:.4f} vs all={w[9]:.4f}",
         flush=True,
     )
     nboth = max(c[2], 1.0)

@@ -1147,7 +1147,7 @@ def _plane_sweep_core(
         return (
             depth.reshape(N), hitm.reshape(N) > 0, steps.reshape(N),
             unresolved, jnp.sum(n_act), zero, zero, zero,
-            (zero, zero, zero),
+            (zero, zero, zero), tnearm.reshape(N), modelm.reshape(N),
         )
 
     # ---- exact verification + recovery tail --------------------------------
@@ -1339,6 +1339,8 @@ def _plane_sweep_core(
         n_near,
         n_resumed,
         (n_entry, n_graze, n_exit),
+        tnear_f,
+        model_bits,
     )
 
 
@@ -1437,6 +1439,8 @@ def plane_sweep_depth(
         n_near,
         n_resumed,
         class_counts,
+        _tnear_diag,
+        _model_diag,
     ) = _plane_sweep_core(
         values,
         meta.inv_origin_transform,
