@@ -58,13 +58,31 @@ def make_origin_transform(translation, rotation=None, dtype=jnp.float32) -> Arra
     return m
 
 
+def rotate_points(rot: Array, p: Array) -> Array:
+    """p @ rot.T for [..., 3] points WITHOUT a matmul: on TPU, XLA may
+    lower small f32 matmuls onto the MXU at the DEFAULT (bfloat16) matmul
+    precision, quantizing ray directions/origins to 8 mantissa bits —
+    measured to displace rays by ~0.2-0.5 cells at t~20 grid widths and
+    cause ~1% hit/miss flips in the renderer. Explicit elementwise math
+    always runs on the VPU in full f32."""
+    rot = rot.astype(p.dtype)
+    return jnp.stack(
+        [
+            p[..., 0] * rot[0, 0] + p[..., 1] * rot[0, 1] + p[..., 2] * rot[0, 2],
+            p[..., 0] * rot[1, 0] + p[..., 1] * rot[1, 1] + p[..., 2] * rot[1, 2],
+            p[..., 0] * rot[2, 0] + p[..., 1] * rot[2, 1] + p[..., 2] * rot[2, 2],
+        ],
+        axis=-1,
+    )
+
+
 def invert_isometry(m: Array) -> Array:
     """Invert a rigid 4x4 transform: inv([R t]) = [R^T, -R^T t]."""
     r = m[:3, :3]
     t = m[:3, 3]
     inv = jnp.eye(4, dtype=m.dtype)
     inv = inv.at[:3, :3].set(r.T)
-    inv = inv.at[:3, 3].set(-r.T @ t)
+    inv = inv.at[:3, 3].set(-rotate_points(r.T, t))
     return inv
 
 
@@ -102,16 +120,16 @@ class GridMeta:
     def world_to_grid(self, points: Array) -> Array:
         """World-frame points [..., 3] -> grid-frame coordinates [..., 3]."""
         p = jnp.asarray(points)
-        r = self.inv_origin_transform[:3, :3].astype(p.dtype)
+        r = self.inv_origin_transform[:3, :3]
         t = self.inv_origin_transform[:3, 3].astype(p.dtype)
-        return p @ r.T + t
+        return rotate_points(r, p) + t
 
     def grid_to_world(self, points: Array) -> Array:
         """Grid-frame coordinates [..., 3] -> world-frame points [..., 3]."""
         p = jnp.asarray(points)
-        r = self.origin_transform[:3, :3].astype(p.dtype)
+        r = self.origin_transform[:3, :3]
         t = self.origin_transform[:3, 3].astype(p.dtype)
-        return p @ r.T + t
+        return rotate_points(r, p) + t
 
     def location_to_index(self, points: Array) -> Array:
         """World points [..., 3] -> integer grid indices [..., 3] (floor)."""

@@ -216,8 +216,9 @@ def gradient(
 ) -> Tuple[Array, Array]:
     """Grid-aligned gradient rotated into the world frame (sdf.hpp:405-430)."""
     g, valid = grid_aligned_gradient(sdf, indices, enable_edge_gradients)
-    r = sdf.meta.origin_transform[:3, :3].astype(g.dtype)
-    return g @ r.T, valid
+    from ..grid import rotate_points
+
+    return rotate_points(sdf.meta.origin_transform[:3, :3], g), valid
 
 
 def full_gradient(sdf: SdfGrid, enable_edge_gradients: bool = True) -> Array:
@@ -265,8 +266,9 @@ def full_gradient(sdf: SdfGrid, enable_edge_gradients: bool = True) -> Array:
             (ix > 0) & (ix < nx - 1) & (iy > 0) & (iy < ny - 1) & (iz > 0) & (iz < nz - 1)
         )
         grid_grad = jnp.where(interior[..., None], grid_grad, 0.0)
-    r = sdf.meta.origin_transform[:3, :3].astype(grid_grad.dtype)
-    return grid_grad @ r.T
+    from ..grid import rotate_points
+
+    return rotate_points(sdf.meta.origin_transform[:3, :3], grid_grad)
 
 
 def smooth_gradient(sdf: SdfGrid, points: Array, nominal_window_size) -> Tuple[Array, Array]:

@@ -57,8 +57,9 @@ def _trace_depth(
     # Analytic ray/AABB intersection in grid frame: skip straight to the grid
     # entry (no wasted marching, no tunneling through the first cells).
     og = s.meta.world_to_grid(o)
-    rot = s.meta.inv_origin_transform[:3, :3].astype(v.dtype)
-    vg = v @ rot.T
+    from ..grid import rotate_points
+
+    vg = rotate_points(s.meta.inv_origin_transform[:3, :3], v)
     sizes = s.meta.sizes.astype(og.dtype)
     safe_v = jnp.where(jnp.abs(vg) > 1e-12, vg, 1e-12)
     t_a = (0.0 - og) / safe_v

@@ -903,11 +903,18 @@ def _plane_sweep_core(
     N = origins.shape[0]
     R = N // LANES
 
-    # grid-frame cell-unit rays
-    rot = inv_origin_transform[:3, :3].astype(jnp.float32)
+    # grid-frame cell-unit rays. rotate_points, NOT a matmul: XLA lowers the
+    # [N,3]@[3,3] f32 matmul onto the MXU at default (bf16) precision,
+    # quantizing ray directions to 8 mantissa bits — measured to displace
+    # rays ~0.2-0.5 cells at t~20 grid widths and cause ~1% hit flips (the
+    # round-2/3 plane-vs-march disagreement was largely THIS, not model
+    # error).
+    from ..grid import rotate_points
+
+    rot = inv_origin_transform[:3, :3]
     trans = inv_origin_transform[:3, 3].astype(jnp.float32)
-    u0w = origins @ rot.T + trans  # grid frame, world units
-    vgw = directions @ rot.T
+    u0w = rotate_points(rot, origins) + trans  # grid frame, world units
+    vgw = rotate_points(rot, directions)
     u0 = (u0w / res).reshape(R, LANES, 3)
     vg = (vgw / res).reshape(R, LANES, 3)
 
