@@ -74,6 +74,7 @@ def main():
                 r[8][0],
                 r[8][1],
                 r[8][2],
+                r[11],
             )
             for r in [core(v, o_, v_)]
         )[0]
@@ -90,7 +91,8 @@ def main():
         f"n_act_total={out[4]:.0f} (avg {out[4]/rows:.2f}/row, "
         f"{out[2]/(h*w):.1f} samples/ray) flagged_hits={out[5]:.0f} "
         f"near_miss={out[6]:.0f} resumed={out[7]:.0f} "
-        f"classes e/g/x={out[8]:.0f}/{out[9]:.0f}/{out[10]:.0f}",
+        f"classes e/g/x={out[8]:.0f}/{out[9]:.0f}/{out[10]:.0f} "
+        f"exec_slabs={out[11]:.0f} ({out[11]/max(out[4],1)*100:.0f}% of n_act)",
         flush=True,
     )
 
@@ -102,7 +104,7 @@ def main():
     t_ps = float(np.median(times))
     rays = h * w
     per_row = (t_ps * 1e6) / rows
-    per_slab = per_row / max(out[4] / rows, 1e-9)
+    per_slab = (t_ps * 1e6) / max(out[11], 1e-9)  # per EXECUTED slab
     print(
         f"plane-sweep: {t_ps*1e3:.1f} ms/frame -> {rays/t_ps/1e6:.2f} M rays/s"
         f" ({per_row:.1f} us/row, {per_slab:.2f} us/slab)",

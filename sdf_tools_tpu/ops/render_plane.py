@@ -152,6 +152,7 @@ def _make_kernel(eps: float, t_max: float, smax: int, refine_iters: int, double_
         steps_ref,
         model_ref,
         tnear_ref,
+        exec_ref,
         band,
         band2,
         sem,
@@ -215,7 +216,7 @@ def _make_kernel(eps: float, t_max: float, smax: int, refine_iters: int, double_
                 dma(band, sem, xb0, yb0, zb0, True, False)
 
         def slab_body(s, state):
-            depth, hitm, steps, sampled, modelm, tnear = state
+            depth, hitm, steps, sampled, modelm, tnear, deadm = state
             slab, xb, yb, zb = unpack(tab_ref[0, 0, HDR + s])
             if double_buffer:
                 parity = lax.rem(s, 2)
@@ -387,32 +388,24 @@ def _make_kernel(eps: float, t_max: float, smax: int, refine_iters: int, double_
             # surface-adjacent trace) and cascaded into the full fallback.
             nm_thresh = eps + nm_mult * (2.0 * half)
 
-            # Mosaic has no f32 sublane min-reduce ("Sublane broadcast" not
-            # implemented); for non-negative floats IEEE order == int32
-            # order, so reduce bitcast views (ts clamped to >= 0)
-            def near_cand(dvals, tvals, mask):
-                return jnp.where(
-                    mask & (dvals < nm_thresh),
-                    jnp.maximum(tvals, 0.0),
-                    BIGF,
-                )
-
-            # elementwise f32 mins across the five candidate sets, then ONE
-            # sublane reduce on the bitcast int32 view
-            cand = near_cand(din, ta, pair_valid)
-            cand = jnp.minimum(cand, near_cand(dout, tb, pair_valid))
-            cand = jnp.minimum(cand, near_cand(dq1, tq1, pair_valid))
-            cand = jnp.minimum(cand, near_cand(dmid, tmid, pair_valid))
-            cand = jnp.minimum(cand, near_cand(dq3, tq3, pair_valid))
-            tn_i = jnp.min(
-                lax.bitcast_convert_type(cand, jnp.int32), axis=0, keepdims=True
+            # One (SLAB,128) candidate per PAIR: flag when the pair's min
+            # observed value (exact endpoint samples + the three model
+            # probes) dips below the threshold; the representative t is the
+            # pair START ta — the verification window (t +- 1.25*spacing)
+            # covers the whole pair segment [ta, ta+spacing], so per-sample
+            # ts buy nothing. Accumulate into (SLAB,128) running-min STATE:
+            # a per-slab sublane reduce here measured +7 us/slab (bitcast
+            # min-reduces inside the loop); the single reduce after the
+            # loop is free. min over pairs/slabs == earliest flagged pair
+            # (ts are absolute; post-hit slabs only contribute larger ts,
+            # so no hit gate is needed).
+            dmin_pair = jnp.minimum(jnp.minimum(din, dout), dip_min)
+            near_c = jnp.where(
+                pair_valid & (dmin_pair < nm_thresh),
+                jnp.maximum(ta, 0.0),
+                BIGF,
             )
-            t_near_slab = lax.bitcast_convert_type(tn_i, jnp.float32)
-            # min over slabs == earliest near-candidate t (ts are absolute
-            # and slabs arrive in marching order; post-hit slabs only ever
-            # contribute larger ts, so no hit gate is needed). A compound
-            # where() here fails Mosaic legalization; minimum() lowers fine.
-            new_tnear = jnp.minimum(tnear, t_near_slab)
+            new_tnear = jnp.minimum(tnear, near_c)
             cand = cross | graze
             tb_eff = jnp.where(graze, dip_t, tb)
 
@@ -664,7 +657,29 @@ def _make_kernel(eps: float, t_max: float, smax: int, refine_iters: int, double_
                 (valid & (hitm == 0)).astype(jnp.int32), axis=0, keepdims=True
             )
             new_sampled = sampled | has_sample.astype(jnp.int32)
-            return new_depth, new_hit, new_steps, new_sampled, new_model, new_tnear
+            # ---- dead-lane tracking (drives the early row exit) ----------
+            # A lane is DEAD once it has hit OR its ray window is exhausted:
+            # slabs arrive in marching order, so the max t reached after
+            # this slab (the t of its last plane in marching order) is
+            # monotone over slabs — once it passes t_end, no future slab
+            # can produce a valid sample for this lane (rows never mix
+            # marching directions: mixed rows are unresolved fallbacks).
+            # Exit/entry logic for the lane has already fired by then (the
+            # exit sliver is detected in the lane's last slab WITH valid
+            # samples). This lets rows whose remaining lanes are beyond
+            # their windows (background / silhouette tiles) stop streaming
+            # slabs instead of running to n_act.
+            xbf = xb.astype(jnp.float32)
+            t_reach = jnp.where(
+                dirpos,
+                tc0 + tc1 * (xbf + (PB - 0.5)),
+                tc0 + tc1 * (xbf + 0.5),
+            )
+            new_dead = deadm | new_hit | (t_reach >= t_end).astype(jnp.int32)
+            return (
+                new_depth, new_hit, new_steps, new_sampled, new_model,
+                new_tnear, new_dead,
+            )
 
         init = (
             jnp.full((1, LANES), t_max, jnp.float32),
@@ -672,21 +687,24 @@ def _make_kernel(eps: float, t_max: float, smax: int, refine_iters: int, double_
             jnp.zeros((1, LANES), jnp.int32),
             jnp.zeros((1, LANES), jnp.int32),
             jnp.zeros((1, LANES), jnp.int32),
-            jnp.full((1, LANES), BIGF, jnp.float32),
+            jnp.full((SLAB, LANES), BIGF, jnp.float32),
+            jnp.zeros((1, LANES), jnp.int32),
         )
         if early_exit:
-            # stop once every ray in the row has hit: the vector->scalar
-            # reduction costs ~2 us but a skipped slab saves ~6 us, and
-            # tiles over an object's interior hit within 1-2 slabs
+            # stop once every ray in the row is DEAD (hit, or its window
+            # exhausted): the vector->scalar reduction costs ~2 us but a
+            # skipped slab saves ~6 us; tiles over an object's interior hit
+            # within 1-2 slabs and background/silhouette tiles stop at
+            # their windows' end instead of streaming all n_act slabs
             def cond(st):
-                s, (_, hitm, _, _, _, _) = st
-                return jnp.logical_and(s < n_act, jnp.any(hitm == 0))
+                s, (_, _, _, _, _, _, deadm) = st
+                return jnp.logical_and(s < n_act, jnp.any(deadm == 0))
 
             def body(st):
                 s, state = st
                 return s + 1, slab_body(s, state)
 
-            s_end, (depth, hitm, steps, _, modelm, tnearv) = lax.while_loop(
+            s_end, (depth, hitm, steps, _, modelm, tnearv, _) = lax.while_loop(
                 cond, body, (jnp.int32(0), init)
             )
             if double_buffer:
@@ -705,14 +723,26 @@ def _make_kernel(eps: float, t_max: float, smax: int, refine_iters: int, double_
                         dma(band2, sem2, xb_d, yb_d, zb_d, False, True)
 
         else:
-            depth, hitm, steps, _, modelm, tnearv = lax.fori_loop(
+            s_end = n_act
+            depth, hitm, steps, _, modelm, tnearv, _ = lax.fori_loop(
                 0, n_act, slab_body, init
             )
         depth_ref[...] = depth.reshape(1, 1, LANES)
         hit_ref[...] = hitm.reshape(1, 1, LANES)
         steps_ref[...] = steps.reshape(1, 1, LANES)
         model_ref[...] = modelm.reshape(1, 1, LANES)
-        tnear_ref[...] = tnearv.reshape(1, 1, LANES)
+        # single sublane min-reduce of the (SLAB,128) running-min state;
+        # Mosaic has no f32 sublane min-reduce, but for non-negative floats
+        # IEEE order == int32 order, so reduce the bitcast int32 view (all
+        # candidates were clamped >= 0)
+        tn_i = jnp.min(
+            lax.bitcast_convert_type(tnearv, jnp.int32), axis=0, keepdims=True
+        )
+        tnear_ref[...] = lax.bitcast_convert_type(tn_i, jnp.float32).reshape(
+            1, 1, LANES
+        )
+        # executed-slab count (early-exit effectiveness diagnostic)
+        exec_ref[...] = jnp.full((1, 1, LANES), s_end, jnp.int32)
 
     return kernel
 
@@ -1102,7 +1132,7 @@ def _plane_sweep_core(
     kernel = _make_kernel(
         eps, t_max, smax, refine_iters, double_buffer, early_exit, nm_mult
     )
-    depth, hitm, steps, modelm, tnearm = pl.pallas_call(
+    depth, hitm, steps, modelm, tnearm, execm = pl.pallas_call(
         kernel,
         grid=(R,),
         in_specs=[
@@ -1120,6 +1150,7 @@ def _plane_sweep_core(
             pl.BlockSpec((1, 1, LANES), lambda r: (r, 0, 0)),
             pl.BlockSpec((1, 1, LANES), lambda r: (r, 0, 0)),
             pl.BlockSpec((1, 1, LANES), lambda r: (r, 0, 0)),
+            pl.BlockSpec((1, 1, LANES), lambda r: (r, 0, 0)),
         ],
         out_shape=[
             _out_struct(values, (R, 1, LANES), jnp.float32),
@@ -1127,6 +1158,7 @@ def _plane_sweep_core(
             _out_struct(values, (R, 1, LANES), jnp.int32),
             _out_struct(values, (R, 1, LANES), jnp.int32),
             _out_struct(values, (R, 1, LANES), jnp.float32),
+            _out_struct(values, (R, 1, LANES), jnp.int32),
         ],
         scratch_shapes=[
             pltpu.VMEM((PB, BY, BZ), jnp.float32),
@@ -1149,12 +1181,15 @@ def _plane_sweep_core(
 
     import os as _os
 
+    exec_total = jnp.sum(execm[:, 0, 0])
+
     if _os.environ.get("PS_TAIL", "1") == "0":  # perf ablation knob
         zero = jnp.zeros((), jnp.int32)
         return (
             depth.reshape(N), hitm.reshape(N) > 0, steps.reshape(N),
             unresolved, jnp.sum(n_act), zero, zero, zero,
             (zero, zero, zero), tnearm.reshape(N), modelm.reshape(N),
+            exec_total,
         )
 
     # ---- exact verification + recovery tail --------------------------------
@@ -1261,7 +1296,11 @@ def _plane_sweep_core(
     n_entry = jnp.sum((model_bits & 1) > 0)
     n_graze = jnp.sum((model_bits & 2) > 0)
     n_exit = jnp.sum((model_bits & 4) > 0)
-    KR = min(8192, N)
+    # measured flag volume on the bench scene is ~350/Mray (the deep-dip
+    # gate + imm-witness skip removed the ~100k/Mray flood); overflow
+    # cascades to the compacted exact-march resume, so a tight budget is
+    # safe — it only shifts WHERE overflow rays get their exact answer
+    KR = min(4096, N)
     idxs, f_sel, kr_overflow = compact_indices(flagged, KR)
     n_flagged = jnp.sum(flagged)
     anyb, t_ver = exact_window(idxs, depth_f[idxs], f_sel)
@@ -1348,6 +1387,7 @@ def _plane_sweep_core(
         (n_entry, n_graze, n_exit),
         tnear_f,
         model_bits,
+        exec_total,
     )
 
 
@@ -1448,6 +1488,7 @@ def plane_sweep_depth(
         class_counts,
         _tnear_diag,
         _model_diag,
+        exec_total,
     ) = _plane_sweep_core(
         values,
         meta.inv_origin_transform,
@@ -1504,6 +1545,7 @@ def plane_sweep_depth(
                 "n_entry": class_counts[0],
                 "n_graze": class_counts[1],
                 "n_exit": class_counts[2],
+                "exec_slabs": exec_total,
             },
         )
     return out
