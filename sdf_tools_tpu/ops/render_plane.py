@@ -141,6 +141,15 @@ def _corner_gather(band_v, ry, rz):
 
 
 def _make_kernel(eps: float, t_max: float, smax: int, refine_iters: int, double_buffer: bool = True, early_exit: bool = True, nm_mult: float = 0.5):
+    import os as _os
+
+    # perf-ablation knobs (trace-time; for cost attribution on real chips —
+    # tests/production leave them unset): PS_PROBES=0 disables the 3-point
+    # frozen-model dip probes (graze detection), PS_EE=0 the entry/exit
+    # virtual-sample machinery
+    probes_on = _os.environ.get("PS_PROBES", "1") != "0"
+    ee_on = _os.environ.get("PS_EE", "1") != "0"
+
     def kernel(
         tab_ref,
         ch_ref,
@@ -339,19 +348,23 @@ def _make_kernel(eps: float, t_max: float, smax: int, refine_iters: int, double_
             # its fidelity with three frozen-model probes per pair and a
             # 1.1*spacing dip gate.
             spacing = jnp.abs(tc1)
-            tq1 = ta + 0.25 * (tb - ta)
-            tmid = 0.5 * (ta + tb)
-            tq3 = ta + 0.75 * (tb - ta)
-            dq1 = dhat(tq1)
-            dmid = dhat(tmid)
-            dq3 = dhat(tq3)
-            # earliest probe (marching order: ta is always the earlier t)
-            dip_t = jnp.where(
-                dq1 < eps,
-                tq1,
-                jnp.where(dmid < eps, tmid, jnp.where(dq3 < eps, tq3, BIGF)),
-            )
-            dip_min = jnp.minimum(dq1, jnp.minimum(dmid, dq3))
+            if probes_on:
+                tq1 = ta + 0.25 * (tb - ta)
+                tmid = 0.5 * (ta + tb)
+                tq3 = ta + 0.75 * (tb - ta)
+                dq1 = dhat(tq1)
+                dmid = dhat(tmid)
+                dq3 = dhat(tq3)
+                # earliest probe (marching order: ta is always the earlier t)
+                dip_t = jnp.where(
+                    dq1 < eps,
+                    tq1,
+                    jnp.where(dmid < eps, tmid, jnp.where(dq3 < eps, tq3, BIGF)),
+                )
+                dip_min = jnp.minimum(dq1, jnp.minimum(dmid, dq3))
+            else:  # ablation: no sub-sample dip detection
+                dip_t = jnp.full_like(ta, BIGF)
+                dip_min = jnp.full_like(ta, BIGF)
             # Fire a graze HIT only on DEEP dips (model min clearly below
             # eps): the frozen-corner model's O(res) silhouette error makes
             # shallow dips fire one pair before a genuine crossing on ~10%
@@ -551,62 +564,67 @@ def _make_kernel(eps: float, t_max: float, smax: int, refine_iters: int, double_
             # (an 80-plane extrapolation otherwise goes arbitrarily negative
             # and hallucinates hits).
             spacing = jnp.abs(tc1)
-            near_entry = (firstt - t_start) <= 1.5 * spacing
-            pv8 = vlow & vhigh  # model needs both planes of the pair valid
+            if ee_on:
+                near_entry = (firstt - t_start) <= 1.5 * spacing
+                pv8 = vlow & vhigh  # model needs both planes of the pair valid
 
-            def pair_ok(pair_idx):
-                return (
-                    jnp.sum(
-                        ((p_io8 == pair_idx) & pv8).astype(jnp.int32),
-                        axis=0,
-                        keepdims=True,
+                def pair_ok(pair_idx):
+                    return (
+                        jnp.sum(
+                            ((p_io8 == pair_idx) & pv8).astype(jnp.int32),
+                            axis=0,
+                            keepdims=True,
+                        )
+                        > 0
                     )
-                    > 0
+
+                pair_e = jnp.clip(
+                    jnp.where(dirpos, pfv, pfv - 1), 0, SLAB - 1
+                )
+                # the model-based entry probes need a valid pair; the exact
+                # first-sample immediate hit below must NOT be gated on it (a
+                # neighboring slab can contribute its single shared boundary
+                # plane as the ray's first sample)
+                e_ok = fresh & near_entry & pair_ok(pair_e)
+                dh_e = extract_model(p_io8 == pair_e)
+                d_entry = dh_e(t_start)
+                t_mid_e = 0.5 * (t_start + firstt)
+                d_mid_e = dh_e(t_mid_e)
+                entry_hit = e_ok & (d_entry < eps)
+                entry_graze = (
+                    e_ok & ~entry_hit & (firstd >= eps) & (d_mid_e < eps)
+                )
+                t_entry_hit = jnp.where(
+                    entry_hit, t_start, t_at_eps(t_start, d_entry, t_mid_e, d_mid_e)
                 )
 
-            pair_e = jnp.clip(
-                jnp.where(dirpos, pfv, pfv - 1), 0, SLAB - 1
-            )
-            # the model-based entry probes need a valid pair; the exact
-            # first-sample immediate hit below must NOT be gated on it (a
-            # neighboring slab can contribute its single shared boundary
-            # plane as the ray's first sample)
-            e_ok = fresh & near_entry & pair_ok(pair_e)
-            dh_e = extract_model(p_io8 == pair_e)
-            d_entry = dh_e(t_start)
-            t_mid_e = 0.5 * (t_start + firstt)
-            d_mid_e = dh_e(t_mid_e)
-            entry_hit = e_ok & (d_entry < eps)
-            entry_graze = (
-                e_ok & ~entry_hit & (firstd >= eps) & (d_mid_e < eps)
-            )
-            t_entry_hit = jnp.where(
-                entry_hit, t_start, t_at_eps(t_start, d_entry, t_mid_e, d_mid_e)
-            )
-
-            # the ray's window ends inside this slab if the next crossing
-            # (one spacing past the last valid one) is already outside it
-            exiting = has_sample & (hitm == 0) & (t_end < lastt + spacing)
-            pair_x = jnp.clip(
-                jnp.where(dirpos, plv - 1, plv), 0, SLAB - 1
-            )
-            exiting &= pair_ok(pair_x)
-            dh_x = extract_model(p_io8 == pair_x)
-            d_exit = dh_x(t_end)
-            t_mid_x = 0.5 * (lastt + t_end)
-            d_mid_x = dh_x(t_mid_x)
-            exit_cross = exiting & (lastd >= eps) & (d_exit < eps)
-            exit_graze = (
-                exiting
-                & (lastd >= eps)
-                & (d_exit >= eps)
-                & (d_mid_x < eps)
-            )
-            t_exit_hit = jnp.where(
-                exit_cross,
-                t_at_eps(lastt, lastd, t_end, d_exit),
-                t_at_eps(lastt, lastd, t_mid_x, d_mid_x),
-            )
+                # the ray's window ends inside this slab if the next crossing
+                # (one spacing past the last valid one) is already outside it
+                exiting = has_sample & (hitm == 0) & (t_end < lastt + spacing)
+                pair_x = jnp.clip(
+                    jnp.where(dirpos, plv - 1, plv), 0, SLAB - 1
+                )
+                exiting &= pair_ok(pair_x)
+                dh_x = extract_model(p_io8 == pair_x)
+                d_exit = dh_x(t_end)
+                t_mid_x = 0.5 * (lastt + t_end)
+                d_mid_x = dh_x(t_mid_x)
+                exit_cross = exiting & (lastd >= eps) & (d_exit < eps)
+                exit_graze = (
+                    exiting
+                    & (lastd >= eps)
+                    & (d_exit >= eps)
+                    & (d_mid_x < eps)
+                )
+                t_exit_hit = jnp.where(
+                    exit_cross,
+                    t_at_eps(lastt, lastd, t_end, d_exit),
+                    t_at_eps(lastt, lastd, t_mid_x, d_mid_x),
+                )
+            else:  # ablation: no entry/exit virtual samples
+                falses = fresh & jnp.zeros_like(fresh)
+                entry_hit = entry_graze = exit_cross = exit_graze = falses
+                t_entry_hit = t_exit_hit = t_start
 
             # immediate hit: first-ever valid sample already inside eps
             imm = fresh & (firstd < eps)
