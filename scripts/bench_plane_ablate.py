@@ -43,22 +43,42 @@ def main():
     vfj = jnp.asarray(dirs.reshape(-1, 3)[perm])
 
     configs = [
-        ("full (tail+probes+ee)", {}),
-        ("kernel only (tail off)", {"PS_TAIL": "0"}),
-        ("kernel, probes off", {"PS_TAIL": "0", "PS_PROBES": "0"}),
-        ("kernel, ee off", {"PS_TAIL": "0", "PS_EE": "0"}),
-        ("kernel, probes+ee off", {"PS_TAIL": "0", "PS_PROBES": "0", "PS_EE": "0"}),
+        ("full (tail+probes+ee)", {}, {}),
+        ("kernel only (tail off)", {"PS_TAIL": "0"}, {}),
+        ("kernel, probes off", {"PS_TAIL": "0", "PS_PROBES": "0"}, {}),
+        ("kernel, ee off", {"PS_TAIL": "0", "PS_EE": "0"}, {}),
+        ("kernel, probes+ee off", {"PS_TAIL": "0", "PS_PROBES": "0", "PS_EE": "0"}, {}),
+        ("kernel, single-buffer", {"PS_TAIL": "0"}, {"double_buffer": False}),
+        ("kernel, no early exit", {"PS_TAIL": "0"}, {"early_exit": False}),
+        ("kernel, no band select (WRONG)", {"PS_TAIL": "0", "PS_NOSEL": "1"}, {}),
+        ("kernel, refine_iters=0", {"PS_TAIL": "0"}, {"refine_iters": 0}),
+        ("kernel, secant", {"PS_TAIL": "0"}, {"refine_mode": "secant"}),
+        ("kernel, sb+secant", {"PS_TAIL": "0"},
+         {"double_buffer": False, "refine_mode": "secant"}),
+        ("kernel, sb+refine0", {"PS_TAIL": "0"},
+         {"double_buffer": False, "refine_iters": 0}),
+        ("full, sb+secant", {},
+         {"double_buffer": False, "refine_mode": "secant"}),
+        ("kernel, secant+noexit", {"PS_TAIL": "0"},
+         {"refine_mode": "secant", "early_exit": False}),
+        ("full, db+secant", {}, {"refine_mode": "secant"}),
     ]
-    knob_names = ["PS_TAIL", "PS_PROBES", "PS_EE"]
-    for label, env in configs:
+    only = os.environ.get("ABL_ONLY")
+    if only:
+        pats = [p.strip().lower() for p in only.split(",") if p.strip()]
+        configs = [c for c in configs if any(p in c[0].lower() for p in pats)]
+    knob_names = ["PS_TAIL", "PS_PROBES", "PS_EE", "PS_NOSEL"]
+    for label, env, kw in configs:
         for k in knob_names:
             os.environ.pop(k, None)
         os.environ.update(env)
 
-        def core(v, o_, v_):
+        def core(v, o_, v_, kw=kw):
+            kwargs = dict(refine_iters=6)
+            kwargs.update(kw)
             r = render_plane._plane_sweep_core(
                 v, meta.inv_origin_transform, meta.resolution, o_, v_,
-                0.0, float(t_max), 1e-3, refine_iters=6,
+                0.0, float(t_max), 1e-3, **kwargs,
             )
             return jnp.sum(r[0]), jnp.sum(r[1].astype(jnp.int32)), r[11]
 

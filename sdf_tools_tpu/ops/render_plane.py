@@ -140,7 +140,7 @@ def _corner_gather(band_v, ry, rz):
     return v00, v01, v10, v11
 
 
-def _make_kernel(eps: float, t_max: float, smax: int, refine_iters: int, double_buffer: bool = True, early_exit: bool = True, nm_mult: float = 0.5):
+def _make_kernel(eps: float, t_max: float, smax: int, refine_iters: int, double_buffer: bool = True, early_exit: bool = True, nm_mult: float = 0.5, refine_mode: str = "bisect"):
     import os as _os
 
     # perf-ablation knobs (trace-time; for cost attribution on real chips —
@@ -149,6 +149,11 @@ def _make_kernel(eps: float, t_max: float, smax: int, refine_iters: int, double_
     # virtual-sample machinery
     probes_on = _os.environ.get("PS_PROBES", "1") != "0"
     ee_on = _os.environ.get("PS_EE", "1") != "0"
+    # PS_NOSEL=1: perf probe ONLY — skip the parity select that
+    # materializes the full (PB,BY,BZ) band every slab (reads band A
+    # always; WRONG results under double buffering, same DMA/compute
+    # pattern). Never set outside cost-attribution runs.
+    nosel = _os.environ.get("PS_NOSEL", "0") == "1"
 
     def kernel(
         tab_ref,
@@ -225,7 +230,7 @@ def _make_kernel(eps: float, t_max: float, smax: int, refine_iters: int, double_
                 dma(band, sem, xb0, yb0, zb0, True, False)
 
         def slab_body(s, state):
-            depth, hitm, steps, sampled, modelm, tnear, deadm = state
+            depth, hitm, steps, sampled, modelm, tnear, deadm, rcub = state
             slab, xb, yb, zb = unpack(tab_ref[0, 0, HDR + s])
             if double_buffer:
                 parity = lax.rem(s, 2)
@@ -283,7 +288,7 @@ def _make_kernel(eps: float, t_max: float, smax: int, refine_iters: int, double_
             ry = jnp.clip(ryb, 0, BY - 2)
             rz = jnp.clip(rzb, 0, BZ - 2)
 
-            if double_buffer:
+            if double_buffer and not nosel:
                 band_v = jnp.where(parity == 0, band[...], band2[...])
             else:
                 band_v = band[...]
@@ -484,42 +489,36 @@ def _make_kernel(eps: float, t_max: float, smax: int, refine_iters: int, double_
             lo = selsum(ta)
             hi = selsum(tb_eff)
 
-            # bisection on the SELECTED pair's frozen-corner model: extract
-            # its 8 corner values + corner-cell coords once, then iterate on
-            # (1,128) arithmetic only
-            if refine_iters > 0:
+            # Crossing refinement. Two modes (measured in
+            # scripts/bench_plane_ablate.py):
+            #  - "secant": per-pair secant to the eps level on values the
+            #    main pass already computed (din >= eps > dout / dip_min) —
+            #    (SLAB,128) elementwise, no model re-evaluation, ~free.
+            #  - "bisect": fit the selected pair's frozen-corner model (an
+            #    EXACT cubic in t) and carry its coefficients in loop state;
+            #    the sequential bisection chain runs once per row after the
+            #    slab loop. The fit + carry measured ~5 us/slab — kept for
+            #    parity experiments.
+            if refine_mode == "secant":
+                d_eff = jnp.where(graze, dip_min, dout)
+                den = jnp.maximum(din - d_eff, 1e-20)
+                t_sec = ta + (tb_eff - ta) * (din - eps) / den
+                t_hit = selsum(t_sec)
+            elif refine_iters > 0:
                 dhat1 = extract_model(sel)
-
-                # dhat1 is EXACTLY cubic in t: fit it from 4 parallel
-                # evaluations, then bisect on a 3-fma Horner evaluation —
-                # the sequential refine chain is latency-bound, so cheap
-                # per-iteration ops matter more than anything
                 span = hi - lo
                 d0 = dhat1(lo)
                 d1 = dhat1(lo + span * (1.0 / 3.0))
                 d2 = dhat1(lo + span * (2.0 / 3.0))
                 d3 = dhat1(hi)
                 # cubic through (u=0,1,2,3) -> coefficients in u
-                c0 = d0
-                c1 = (-11 * d0 + 18 * d1 - 9 * d2 + 2 * d3) / 6.0
-                c2 = (2 * d0 - 5 * d1 + 4 * d2 - d3) / 2.0
-                c3 = (-d0 + 3 * d1 - 3 * d2 + d3) / 6.0
-                inv_h = jnp.where(span > 0, 3.0 / jnp.maximum(span, 1e-20), 0.0)
-
-                def refine(_, lohi):
-                    lo_, hi_ = lohi
-                    tm = 0.5 * (lo_ + hi_)
-                    u = (tm - lo) * inv_h
-                    dm = c0 + u * (c1 + u * (c2 + u * c3))
-                    below = dm < eps
-                    return (
-                        jnp.where(below, lo_, tm),
-                        jnp.where(below, tm, hi_),
-                    )
-
-                lo2, hi2 = lax.fori_loop(0, refine_iters, refine, (lo, hi))
-                hi = hi2
-            t_hit = hi
+                fc0 = d0
+                fc1 = (-11 * d0 + 18 * d1 - 9 * d2 + 2 * d3) / 6.0
+                fc2 = (2 * d0 - 5 * d1 + 4 * d2 - d3) / 2.0
+                fc3 = (-d0 + 3 * d1 - 3 * d2 + d3) / 6.0
+                t_hit = hi  # placeholder until the post-loop refine
+            else:
+                t_hit = hi
 
             # first / last valid plane of this slab (marching order)
             rank9 = jnp.where(dirpos, p_io9, PB - 1 - p_io9)
@@ -647,6 +646,24 @@ def _make_kernel(eps: float, t_max: float, smax: int, refine_iters: int, double_
             )
             hit_now = any_entry | imm | found | exit_cross | exit_graze
             new_hit = hitm | hit_now.astype(jnp.int32)
+            # stash the fitted cubic for the post-loop refine on lanes whose
+            # ACCEPTED hit this slab is the in-slab crossing (entry/imm take
+            # priority in the depth chain above; found is gated on unhit, so
+            # this is write-once per lane)
+            accepted = found & ~any_entry & ~imm
+            if refine_mode != "secant" and refine_iters > 0:
+                rc0, rc1, rc2, rc3, rlo, rspan, rflag = rcub
+                new_rcub = (
+                    jnp.where(accepted, fc0, rc0),
+                    jnp.where(accepted, fc1, rc1),
+                    jnp.where(accepted, fc2, rc2),
+                    jnp.where(accepted, fc3, rc3),
+                    jnp.where(accepted, lo, rlo),
+                    jnp.where(accepted, span, rspan),
+                    rflag | accepted.astype(jnp.int32),
+                )
+            else:
+                new_rcub = rcub
             # hits witnessed by EXACT samples (a sign crossing between two
             # in-band samples, or a first sample already < eps) are provably
             # real; hits proposed by the frozen-corner MODEL (graze probes,
@@ -696,9 +713,10 @@ def _make_kernel(eps: float, t_max: float, smax: int, refine_iters: int, double_
             new_dead = deadm | new_hit | (t_reach >= t_end).astype(jnp.int32)
             return (
                 new_depth, new_hit, new_steps, new_sampled, new_model,
-                new_tnear, new_dead,
+                new_tnear, new_dead, new_rcub,
             )
 
+        zf = lambda: jnp.zeros((1, LANES), jnp.float32)
         init = (
             jnp.full((1, LANES), t_max, jnp.float32),
             jnp.zeros((1, LANES), jnp.int32),
@@ -707,6 +725,8 @@ def _make_kernel(eps: float, t_max: float, smax: int, refine_iters: int, double_
             jnp.zeros((1, LANES), jnp.int32),
             jnp.full((SLAB, LANES), BIGF, jnp.float32),
             jnp.zeros((1, LANES), jnp.int32),
+            (zf(), zf(), zf(), zf(), zf(), zf(),
+             jnp.zeros((1, LANES), jnp.int32)),
         )
         if early_exit:
             # stop once every ray in the row is DEAD (hit, or its window
@@ -715,14 +735,14 @@ def _make_kernel(eps: float, t_max: float, smax: int, refine_iters: int, double_
             # within 1-2 slabs and background/silhouette tiles stop at
             # their windows' end instead of streaming all n_act slabs
             def cond(st):
-                s, (_, _, _, _, _, _, deadm) = st
+                s, (_, _, _, _, _, _, deadm, _) = st
                 return jnp.logical_and(s < n_act, jnp.any(deadm == 0))
 
             def body(st):
                 s, state = st
                 return s + 1, slab_body(s, state)
 
-            s_end, (depth, hitm, steps, _, modelm, tnearv, _) = lax.while_loop(
+            s_end, (depth, hitm, steps, _, modelm, tnearv, _, rcub) = lax.while_loop(
                 cond, body, (jnp.int32(0), init)
             )
             if double_buffer:
@@ -742,9 +762,26 @@ def _make_kernel(eps: float, t_max: float, smax: int, refine_iters: int, double_
 
         else:
             s_end = n_act
-            depth, hitm, steps, _, modelm, tnearv, _ = lax.fori_loop(
+            depth, hitm, steps, _, modelm, tnearv, _, rcub = lax.fori_loop(
                 0, n_act, slab_body, init
             )
+        # ---- deferred crossing refinement (once per row) --------------
+        # bisection on the stored cubic: same bracket, update rule, and
+        # iteration count as the old in-loop chain -> identical depths, at
+        # ~0 cost here vs ~5 us on every slab's critical path there
+        if refine_mode != "secant" and refine_iters > 0:
+            rc0, rc1, rc2, rc3, rlo, rspan, rflag = rcub
+            rinv = jnp.where(rspan > 0, 3.0 / jnp.maximum(rspan, 1e-20), 0.0)
+            lo_ = rlo
+            hi_ = rlo + rspan
+            for _ in range(refine_iters):  # python-unrolled (1,128) Horner
+                tm = 0.5 * (lo_ + hi_)
+                u = (tm - rlo) * rinv
+                dm = rc0 + u * (rc1 + u * (rc2 + u * rc3))
+                below = dm < eps
+                lo_ = jnp.where(below, lo_, tm)
+                hi_ = jnp.where(below, tm, hi_)
+            depth = jnp.where(rflag > 0, hi_, depth)
         depth_ref[...] = depth.reshape(1, 1, LANES)
         hit_ref[...] = hitm.reshape(1, 1, LANES)
         steps_ref[...] = steps.reshape(1, 1, LANES)
@@ -924,6 +961,7 @@ def _row_tables(meta_shape_by_axis, supported, u0, vg, t_start, t_end, res, smax
         "max_steps",
         "min_step",
         "nm_mult",
+        "refine_mode",
     ),
 )
 def _plane_sweep_core(
@@ -943,6 +981,7 @@ def _plane_sweep_core(
     max_steps: int = 96,
     min_step=None,
     nm_mult: float = 0.5,
+    refine_mode: str = None,
 ):
     """Plane-sweep depth for padded rays (N % 128 == 0). Returns
     (depth (N,), hit (N,) bool, steps (N,) i32, unresolved (N,) bool)."""
@@ -1147,8 +1186,18 @@ def _plane_sweep_core(
         else:
             vols.append(jnp.zeros((PB, BY, BZ), values.dtype))
 
+    if refine_mode is None:
+        # trace-time default (None is the jit-static key, so one env value
+        # per compilation; set PS_REFINE_MODE only in measurement scripts).
+        # "secant" is the production default: measured equal accuracy to the
+        # fitted-cubic bisection (CPU 64^3 and TPU 512^3 comparisons) at
+        # lower kernel cost (no model re-evaluation, no coefficient carry).
+        import os as _os_rm
+
+        refine_mode = _os_rm.environ.get("PS_REFINE_MODE", "secant")
     kernel = _make_kernel(
-        eps, t_max, smax, refine_iters, double_buffer, early_exit, nm_mult
+        eps, t_max, smax, refine_iters, double_buffer, early_exit, nm_mult,
+        refine_mode,
     )
     depth, hitm, steps, modelm, tnearm, execm = pl.pallas_call(
         kernel,
