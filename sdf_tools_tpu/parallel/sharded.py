@@ -350,6 +350,24 @@ def sharded_render_depth(
 
     ext = exchange_slab_halo(values_local, axis_name, halo)
 
+    # Boundary shards: the ring exchange wraps the far SIDE of the volume
+    # into the outer halo, so a ray entering through an obstacle at the
+    # global x face saw wrapped below-eps values halo cells early and
+    # reported its entry hit displaced by exactly halo cells (measured at
+    # 512^3: ~10% of rays are boundary-face entry hits, err clustered at
+    # 2-3 res with halo=2 — scripts/check_sharded_plane_tpu.py histogram).
+    # Fill the outer halos with 2*res: after the -res/2 corner correction
+    # that is above every hit/graze/near-miss threshold, and it is a safe
+    # sphere-trace step (the nearest in-volume surface is >= 1 cell from
+    # any halo cell; overshoot <= res/2 is within the march's existing
+    # bracketing semantics).
+    xi = lax.broadcasted_iota(jnp.int32, ext.shape, 0)
+    pad_val = jnp.asarray(2.0 * res, ext.dtype)
+    outer = ((idx == 0) & (xi < halo)) | (
+        (idx == n_dev - 1) & (xi >= halo + nx_local)
+    )
+    ext = jnp.where(outer, pad_val, ext)
+
     # slab meta: origin composed with a translation of (slab start - halo)
     # cells along the grid frame's own x axis
     x_off = (idx * nx_local - halo).astype(jnp.float32) * res
