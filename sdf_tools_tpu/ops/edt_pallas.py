@@ -174,6 +174,98 @@ def line_pass_pallas(mask: jax.Array, interpret: bool = False) -> jax.Array:
     )(mask.astype(jnp.int32))
 
 
+def _envelope_argmin_kernel(axis: int, n: int, d_ref, out_ref, j_ref):
+    """Envelope relaxation carrying the winning source index per cell.
+
+    Same odd-weight schedule / quiescence exit as `_envelope_kernel` (the
+    winner register can only change when d improves, so d-quiescence also
+    certifies the winner map). Backs the feature-transform backward
+    (ops/feature.py): the reference keeps this `closest_point` inside its
+    propagation state (sdf_generation.hpp:19-27); here it rides the exact
+    separable pass at one extra register per lane.
+    """
+    d0 = d_ref[:]
+    j0 = lax.broadcasted_iota(jnp.int32, d0.shape, axis)
+    mask_lo, mask_hi = _edge_masks(d0.shape, axis, n)
+
+    def cond(state):
+        t, _, _, done = state
+        return jnp.logical_and(jnp.logical_not(done), t <= n)
+
+    def body(state):
+        t, d, j, _ = state
+
+        def one(k, carry):
+            dd, jj = carry
+            c = 2 * (t + k) - 1
+            up = _roll_shift(dd, axis, 1, n, mask_lo)
+            dn = _roll_shift(dd, axis, -1, n, mask_hi)
+            # rolled-in j values are only selected where the matching d roll
+            # is finite (masked rolls carry INF_D2, which never wins)
+            up_j = _pvary_like(pltpu.roll(jj, shift=1 % n, axis=axis), jj)
+            dn_j = _pvary_like(pltpu.roll(jj, shift=-1 % n, axis=axis), jj)
+            cand = jnp.minimum(up, dn) + c
+            cand_j = jnp.where(up <= dn, up_j, dn_j)
+            new_d = jnp.minimum(dd, cand)
+            new_j = jnp.where(cand < dd, cand_j, jj)
+            return new_d, new_j
+
+        new_d, new_j = lax.fori_loop(0, _CHECK_EVERY, one, (d, j))
+        done = jnp.all(new_d == d)
+        return t + _CHECK_EVERY, new_d, new_j, done
+
+    _, d_final, j_final, _ = lax.while_loop(
+        cond, body, (jnp.int32(1), d0, j0, jnp.array(False))
+    )
+    out_ref[:] = d_final
+    j_ref[:] = j_final
+
+
+@functools.partial(jax.jit, static_argnames=("axis", "interpret"))
+def envelope_argmin_pallas(f: jax.Array, axis: int, interpret: bool = False):
+    """(out, j): exact envelope along `axis` (1 or 2) plus winning source
+    index per cell. Twice the register/VMEM pressure of the plain pass, so
+    blocks are half-sized."""
+    X, Y, Z = f.shape
+    n = f.shape[axis]
+    if n == 1:
+        return f, jnp.zeros(f.shape, jnp.int32)
+    if axis == 1 and Z == 1:
+        out, j = envelope_argmin_pallas(f.reshape(X, 1, Y), 2, interpret)
+        return out.reshape(X, Y, 1), j.reshape(X, Y, 1)
+    block_bytes = _BLOCK_BYTES // 2
+    if axis == 1:
+        zt = _lane_tile(Z)
+        xt = _pick_tile(X, max(1, block_bytes // (Y * zt * 4)))
+        grid = (X // xt, Z // zt)
+        block = (xt, Y, zt)
+        index_map = lambda i, j: (i, 0, j)
+    elif axis == 2:
+        yt = 8 if Y % 8 == 0 else Y
+        xt = _pick_tile(X, max(1, block_bytes // (yt * Z * 4)))
+        grid = (X // xt, Y // yt)
+        block = (xt, yt, Z)
+        index_map = lambda i, j: (i, j, 0)
+    else:
+        raise ValueError("envelope_argmin_pallas supports axis 1 or 2")
+
+    kernel = functools.partial(_envelope_argmin_kernel, axis, n)
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[pl.BlockSpec(block, index_map, memory_space=pltpu.VMEM)],
+        out_specs=[
+            pl.BlockSpec(block, index_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec(block, index_map, memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            _out_struct(f, f.shape, jnp.int32),
+            _out_struct(f, f.shape, jnp.int32),
+        ],
+        interpret=interpret,
+    )(f)
+
+
 def _pick_tile(total: int, target: int) -> int:
     """Largest divisor of `total` that is <= target."""
     t = min(target, total)

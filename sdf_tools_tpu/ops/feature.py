@@ -93,13 +93,14 @@ def _envelope_argmin(f: Array, axis: int) -> Tuple[Array, Array]:
     return out, j
 
 
-def feature_transform(seed_mask: Array) -> Tuple[Array, Array]:
+def feature_transform(seed_mask: Array, backend: str = "auto") -> Tuple[Array, Array]:
     """(d2, feat): exact squared EDT + closest-seed index map [..., 3].
 
     ``feat[x,y,z]`` is an index triple of a nearest seed cell (exact
     distance; ties arbitrary). Cells in a seedless volume get (0,0,0) with
-    d2 >= INF_D2. Stencil-relaxation implementation (CPU/TPU; used on the
-    gradient path, not the forward hot path).
+    d2 >= INF_D2. ``backend``: "auto" resolves like ops/edt.py ("pallas" on
+    TPU — the winner-carrying envelope kernel,
+    ``edt_pallas.envelope_argmin_pallas`` — "stencil" elsewhere).
     """
     mask = jnp.asarray(seed_mask, bool)
     if mask.ndim != 3:
@@ -109,8 +110,16 @@ def feature_transform(seed_mask: Array) -> Tuple[Array, Array]:
     no_seed = d >= jnp.int32(1 << 24)
     f = jnp.where(no_seed, jnp.int32(edt.INF_D2), d * d).astype(jnp.int32)
 
-    f, jy = _envelope_argmin(f, 1)
-    f, jz = _envelope_argmin(f, 2)
+    resolved = edt.resolve_backend(backend)
+    if resolved == "pallas":
+        from . import edt_pallas
+
+        interpret = jax.default_backend() not in ("tpu", "axon")
+        f, jy = edt_pallas.envelope_argmin_pallas(f, 1, interpret=interpret)
+        f, jz = edt_pallas.envelope_argmin_pallas(f, 2, interpret=interpret)
+    else:
+        f, jy = _envelope_argmin(f, 1)
+        f, jz = _envelope_argmin(f, 2)
 
     # compose winners: z winner k*, then the y winner AT (x, y, k*), then
     # the line seed AT (x, jy*, k*) — flat gathers (TPU perf rule #1)

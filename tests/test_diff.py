@@ -130,6 +130,27 @@ def test_feature_transform_is_exact_nearest_seed():
         np.testing.assert_array_equal(dist, ref)
 
 
+def test_feature_transform_pallas_backend_matches_stencil():
+    """The winner-carrying Pallas envelope kernel (interpret mode on CPU)
+    produces the same exact d2 as the stencil path and a valid argmin
+    (winners may differ on ties; any seed at the exact distance is correct)."""
+    from sdf_tools_tpu.ops import feature
+
+    rng = np.random.default_rng(11)
+    for shape, p in [((16, 24, 128), 0.05), ((8, 16, 256), 0.25)]:
+        mask = rng.random(shape) < p
+        mask[0, 0, 0] = True
+        d2_s, _ = feature.feature_transform(jnp.asarray(mask), backend="stencil")
+        d2_p, feat_p = feature.feature_transform(jnp.asarray(mask), backend="pallas")
+        np.testing.assert_array_equal(np.asarray(d2_s), np.asarray(d2_p))
+        fp = np.asarray(feat_p)
+        m = np.asarray(mask)
+        assert m[fp[..., 0], fp[..., 1], fp[..., 2]].all()
+        ix, iy, iz = np.meshgrid(*[np.arange(s) for s in shape], indexing="ij")
+        dist = (ix - fp[..., 0]) ** 2 + (iy - fp[..., 1]) ** 2 + (iz - fp[..., 2]) ** 2
+        np.testing.assert_array_equal(dist, np.asarray(d2_s))
+
+
 def test_ft_surrogate_matches_fd_cross_terms():
     """Near-surface cross sensitivity: flipping cell i's nearest filled cell
     changes sdf[i]. The exact finite difference is nonzero; the diagonal ST
