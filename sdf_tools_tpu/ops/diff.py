@@ -72,12 +72,50 @@ def sdf_from_occupancy_ft(occupancy, resolution, backend: str = "auto"):
     return values
 
 
+_FT_NATIVE_BACKENDS = ("auto", "pallas", "stencil")
+
+
 def _ft_fwd(occupancy, resolution, backend):
+    from . import feature
+
+    mask = occupancy > 0.5
+    resolution = jnp.asarray(resolution)
+    if backend in _FT_NATIVE_BACKENDS:
+        # Single pass: the feature transform's d^2 IS the exact EDT
+        # (bit-equal; tests/test_diff.py), so the signed values come from
+        # the same arrays and the composed features ride along as
+        # residuals. This halves the grad-path work vs running
+        # signed_field_from_masks forward and recomputing both feature
+        # transforms in the backward.
+        nx, ny, nz = mask.shape
+        d2_filled, feat_filled = feature.feature_transform(mask, backend)
+        d2_free, feat_free = feature.feature_transform(~mask, backend)
+        values = edt.d2_to_distance(d2_filled, resolution) - edt.d2_to_distance(
+            d2_free, resolution
+        )
+        free_cell = ~mask
+        feat = jnp.where(free_cell[..., None], feat_filled, feat_free)
+        flat = (feat[..., 0] * ny + feat[..., 1]) * nz + feat[..., 2]
+        valid = jnp.where(free_cell, d2_filled, d2_free) < jnp.int32(edt.INF_D2)
+        return values, (flat, valid, resolution)
+    # exotic backends (reference/cht/...): preserve their forward values
+    # exactly; the backward recomputes features with the default transform
     values = sdf_from_occupancy_ft(occupancy, resolution, backend)
-    return values, (occupancy > 0.5, jnp.asarray(resolution))
+    return values, (mask, resolution)
 
 
 def _ft_bwd(backend, residuals, g):
+    if backend in _FT_NATIVE_BACKENDS:
+        flat, valid, resolution = residuals
+        contrib = jnp.where(valid, g * (-2.0 * resolution), 0.0)
+        d_occ = (
+            jnp.zeros(flat.size, g.dtype)
+            .at[flat.reshape(-1)]
+            .add(contrib.reshape(-1), mode="drop")
+            .reshape(g.shape)
+        )
+        return d_occ, None
+
     from . import feature
 
     mask, resolution = residuals
