@@ -174,18 +174,29 @@ def line_pass_pallas(mask: jax.Array, interpret: bool = False) -> jax.Array:
     )(mask.astype(jnp.int32))
 
 
-def _envelope_argmin_kernel(axis: int, n: int, d_ref, out_ref, j_ref):
-    """Envelope relaxation carrying the winning source index per cell.
+def _envelope_carry_kernel(axis: int, n: int, n_payload: int, *refs):
+    """Envelope relaxation carrying `n_payload` payload registers per cell.
 
-    Same odd-weight schedule / quiescence exit as `_envelope_kernel` (the
-    winner register can only change when d improves, so d-quiescence also
-    certifies the winner map). Backs the feature-transform backward
-    (ops/feature.py): the reference keeps this `closest_point` inside its
-    propagation state (sdf_generation.hpp:19-27); here it rides the exact
-    separable pass at one extra register per lane.
+    Payloads are INHERITED along winning relaxation chains: whenever a
+    cell's d improves from a neighbor's candidate, every payload register
+    copies that neighbor's payload. Initializing a payload with the
+    per-axis iota yields the winning source index (argmin); initializing it
+    with an earlier pass's feature map composes features ACROSS passes with
+    zero gathers (the winner's payload is physically carried to the cell,
+    so no post-pass `payload[winner]` lookup is needed — scattered 134M
+    gathers measured 5.4 s/transform at 512^3, ~10x the passes themselves).
+
+    Same odd-weight schedule / quiescence exit as `_envelope_kernel`:
+    payloads can only change when d improves, so d-quiescence also
+    certifies the payload maps. The reference keeps its `closest_point`
+    inside the propagation state the same way (sdf_generation.hpp:19-27).
     """
+    d_ref = refs[0]
+    payload_in = refs[1 : 1 + n_payload]
+    out_ref = refs[1 + n_payload]
+    payload_out = refs[2 + n_payload :]
     d0 = d_ref[:]
-    j0 = lax.broadcasted_iota(jnp.int32, d0.shape, axis)
+    p0 = tuple(r[:] for r in payload_in)
     mask_lo, mask_hi = _edge_masks(d0.shape, axis, n)
 
     def cond(state):
@@ -193,47 +204,65 @@ def _envelope_argmin_kernel(axis: int, n: int, d_ref, out_ref, j_ref):
         return jnp.logical_and(jnp.logical_not(done), t <= n)
 
     def body(state):
-        t, d, j, _ = state
+        t, d, ps, _ = state
 
         def one(k, carry):
-            dd, jj = carry
+            dd, pp = carry
             c = 2 * (t + k) - 1
             up = _roll_shift(dd, axis, 1, n, mask_lo)
             dn = _roll_shift(dd, axis, -1, n, mask_hi)
-            # rolled-in j values are only selected where the matching d roll
-            # is finite (masked rolls carry INF_D2, which never wins)
-            up_j = _pvary_like(pltpu.roll(jj, shift=1 % n, axis=axis), jj)
-            dn_j = _pvary_like(pltpu.roll(jj, shift=-1 % n, axis=axis), jj)
             cand = jnp.minimum(up, dn) + c
-            cand_j = jnp.where(up <= dn, up_j, dn_j)
+            take_up = up <= dn
+            win = cand < dd
             new_d = jnp.minimum(dd, cand)
-            new_j = jnp.where(cand < dd, cand_j, jj)
-            return new_d, new_j
+            # rolled-in payloads are only selected where the matching d
+            # roll is finite (masked rolls carry INF_D2, which never wins)
+            new_p = tuple(
+                jnp.where(
+                    win,
+                    jnp.where(
+                        take_up,
+                        _pvary_like(pltpu.roll(q, shift=1 % n, axis=axis), q),
+                        _pvary_like(pltpu.roll(q, shift=-1 % n, axis=axis), q),
+                    ),
+                    q,
+                )
+                for q in pp
+            )
+            return new_d, new_p
 
-        new_d, new_j = lax.fori_loop(0, _CHECK_EVERY, one, (d, j))
+        new_d, new_ps = lax.fori_loop(0, _CHECK_EVERY, one, (d, ps))
         done = jnp.all(new_d == d)
-        return t + _CHECK_EVERY, new_d, new_j, done
+        return t + _CHECK_EVERY, new_d, new_ps, done
 
-    _, d_final, j_final, _ = lax.while_loop(
-        cond, body, (jnp.int32(1), d0, j0, jnp.array(False))
+    _, d_final, p_final, _ = lax.while_loop(
+        cond, body, (jnp.int32(1), d0, p0, jnp.array(False))
     )
     out_ref[:] = d_final
-    j_ref[:] = j_final
+    for r, p in zip(payload_out, p_final):
+        r[:] = p
 
 
 @functools.partial(jax.jit, static_argnames=("axis", "interpret"))
-def envelope_argmin_pallas(f: jax.Array, axis: int, interpret: bool = False):
-    """(out, j): exact envelope along `axis` (1 or 2) plus winning source
-    index per cell. Twice the register/VMEM pressure of the plain pass, so
-    blocks are half-sized."""
+def envelope_carry_pallas(
+    f: jax.Array, payloads, axis: int, interpret: bool = False
+):
+    """(out, *carried): exact envelope along `axis` (1 or 2) plus each
+    payload array inherited along the winning chains (see kernel doc).
+    Block sizes shrink with the number of live registers."""
+    payloads = tuple(payloads)
     X, Y, Z = f.shape
     n = f.shape[axis]
     if n == 1:
-        return f, jnp.zeros(f.shape, jnp.int32)
+        return (f,) + payloads
     if axis == 1 and Z == 1:
-        out, j = envelope_argmin_pallas(f.reshape(X, 1, Y), 2, interpret)
-        return out.reshape(X, Y, 1), j.reshape(X, Y, 1)
-    block_bytes = _BLOCK_BYTES // 2
+        outs = envelope_carry_pallas(
+            f.reshape(X, 1, Y), tuple(p.reshape(X, 1, Y) for p in payloads),
+            2, interpret,
+        )
+        return tuple(o.reshape(X, Y, 1) for o in outs)
+    n_arrays = 1 + len(payloads)
+    block_bytes = max(_BLOCK_BYTES // n_arrays, 64 * 1024)
     if axis == 1:
         zt = _lane_tile(Z)
         xt = _pick_tile(X, max(1, block_bytes // (Y * zt * 4)))
@@ -247,23 +276,31 @@ def envelope_argmin_pallas(f: jax.Array, axis: int, interpret: bool = False):
         block = (xt, yt, Z)
         index_map = lambda i, j: (i, j, 0)
     else:
-        raise ValueError("envelope_argmin_pallas supports axis 1 or 2")
+        raise ValueError("envelope_carry_pallas supports axis 1 or 2")
 
-    kernel = functools.partial(_envelope_argmin_kernel, axis, n)
-    return pl.pallas_call(
+    spec = pl.BlockSpec(block, index_map, memory_space=pltpu.VMEM)
+    kernel = functools.partial(_envelope_carry_kernel, axis, n, len(payloads))
+    outs = pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[pl.BlockSpec(block, index_map, memory_space=pltpu.VMEM)],
-        out_specs=[
-            pl.BlockSpec(block, index_map, memory_space=pltpu.VMEM),
-            pl.BlockSpec(block, index_map, memory_space=pltpu.VMEM),
-        ],
-        out_shape=[
-            _out_struct(f, f.shape, jnp.int32),
-            _out_struct(f, f.shape, jnp.int32),
-        ],
+        in_specs=[spec] * n_arrays,
+        out_specs=[spec] * n_arrays,
+        out_shape=[_out_struct(f, f.shape, jnp.int32)] * n_arrays,
         interpret=interpret,
-    )(f)
+    )(f, *(p.astype(jnp.int32) for p in payloads))
+    return tuple(outs)
+
+
+@functools.partial(jax.jit, static_argnames=("axis", "interpret"))
+def envelope_argmin_pallas(f: jax.Array, axis: int, interpret: bool = False):
+    """(out, j): exact envelope along `axis` plus winning source index per
+    cell — the single-payload case of `envelope_carry_pallas` with an iota
+    payload."""
+    if f.shape[axis] == 1:
+        return f, jnp.zeros(f.shape, jnp.int32)
+    j0 = lax.broadcasted_iota(jnp.int32, f.shape, axis)
+    out, j = envelope_carry_pallas(f, (j0,), axis, interpret)
+    return out, j
 
 
 def _pick_tile(total: int, target: int) -> int:

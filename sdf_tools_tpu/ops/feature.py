@@ -112,14 +112,27 @@ def feature_transform(seed_mask: Array, backend: str = "auto") -> Tuple[Array, A
 
     resolved = edt.resolve_backend(backend)
     if resolved == "pallas":
+        # gather-free composition: the y pass carries (jy-iota, x0) along
+        # winning chains, the z pass carries (jz-iota, jy*, x*) — the full
+        # feature triple arrives WITH the distance, no post-pass lookups
+        # (the two 134M scattered gathers below cost ~10x the passes at
+        # 512^3; see edt_pallas._envelope_carry_kernel)
         from . import edt_pallas
 
         interpret = jax.default_backend() not in ("tpu", "axon")
-        f, jy = edt_pallas.envelope_argmin_pallas(f, 1, interpret=interpret)
-        f, jz = edt_pallas.envelope_argmin_pallas(f, 2, interpret=interpret)
-    else:
-        f, jy = _envelope_argmin(f, 1)
-        f, jz = _envelope_argmin(f, 2)
+        iy0 = lax.broadcasted_iota(jnp.int32, mask.shape, 1)
+        f, jy_c, x_c = edt_pallas.envelope_carry_pallas(
+            f, (iy0, x0), 1, interpret=interpret
+        )
+        iz0 = lax.broadcasted_iota(jnp.int32, mask.shape, 2)
+        f, kz, jy_star, x_star = edt_pallas.envelope_carry_pallas(
+            f, (iz0, jy_c, x_c), 2, interpret=interpret
+        )
+        feat = jnp.stack([x_star, jy_star, kz], axis=-1)
+        return f, feat
+
+    f, jy = _envelope_argmin(f, 1)
+    f, jz = _envelope_argmin(f, 2)
 
     # compose winners: z winner k*, then the y winner AT (x, y, k*), then
     # the line seed AT (x, jy*, k*) — flat gathers (TPU perf rule #1)
