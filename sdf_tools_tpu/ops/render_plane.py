@@ -1054,10 +1054,17 @@ def _plane_sweep_core(
     pad = [(0, cs[i] * SLAB - nxyz[i]) for i in range(3)]
 
     def coarse_any(x):
+        # separable strided max windows, NOT a blocked reshape: the
+        # (cx,S,cy,S,cz,S) intermediate gets T(8,128) minor-dim padding
+        # (S=16 -> 128 on lanes), a measured 32 GB allocation at 1024^3
         xp = jnp.pad(x, pad)
-        return jnp.max(
-            xp.reshape(cs[0], SLAB, cs[1], SLAB, cs[2], SLAB), axis=(1, 3, 5)
-        )
+        for ax in range(3):
+            win = [1, 1, 1]
+            win[ax] = SLAB
+            xp = lax.reduce_window(
+                xp, jnp.int32(0), lax.max, tuple(win), tuple(win), "VALID"
+            )
+        return xp
 
     coarse = coarse_any(near) + 8192 * coarse_any(interior)
     # summed-area tables per coarse x-layer: exact per-(row, slab) box query
