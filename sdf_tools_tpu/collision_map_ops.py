@@ -212,6 +212,70 @@ def make_object_sdfs(
     return out
 
 
+def resample_tagged(tmap: TaggedCollisionMap, new_resolution) -> TaggedCollisionMap:
+    """Nearest-location resample of a tagged map — all four cell fields
+    (occupancy, component, object_id, convex_segment), matching
+    ``TaggedObjectCollisionMapGrid::Resample``
+    (tagged_object_collision_map.hpp:671, impl .cpp): the new grid shares the
+    origin transform and copies, per new cell, the value stored at the new
+    cell center's location in the old grid."""
+    occ, new_meta = topology.resample_nearest(tmap.occupancy, tmap.meta, new_resolution)
+    comp, _ = topology.resample_nearest(
+        tmap.component.astype(jnp.int32), tmap.meta, new_resolution
+    )
+    obj, _ = topology.resample_nearest(
+        tmap.object_id.astype(jnp.int32), tmap.meta, new_resolution
+    )
+    seg, _ = topology.resample_nearest(
+        tmap.convex_segment.astype(jnp.int32), tmap.meta, new_resolution
+    )
+    return TaggedCollisionMap(
+        occupancy=occ,
+        component=comp.astype(jnp.uint32),
+        object_id=obj.astype(jnp.uint32),
+        convex_segment=seg.astype(jnp.uint32),
+        meta=new_meta,
+        oob_occupancy=tmap.oob_occupancy,
+    )
+
+
+def extract_tagged_component_surfaces(
+    tmap: TaggedCollisionMap, component_types: str = "filled"
+) -> Array:
+    """Tagged-grid ``ExtractComponentSurfaces`` /
+    ``Extract{Filled,Unknown,Empty}ComponentSurfaces``
+    (tagged_object_collision_map.hpp:704-722): same semantics as the
+    collision-map version, keyed on the tagged grid's occupancy/component.
+    component_types in {"filled", "empty", "unknown", "all"}."""
+    surf = topology.component_surface_mask(tmap.component)
+    occ = tmap.occupancy
+    if component_types == "filled":
+        sel = occ > 0.5
+    elif component_types == "empty":
+        sel = occ < 0.5
+    elif component_types == "unknown":
+        sel = occ == 0.5
+    elif component_types == "all":
+        sel = jnp.ones_like(occ, bool)
+    else:
+        raise ValueError(component_types)
+    return surf & sel
+
+
+def extract_tagged_component_surfaces_map(
+    tmap: TaggedCollisionMap, component_types: str = "filled"
+) -> Dict[int, np.ndarray]:
+    """Host-side map view {component_id: [k, 3] surface voxel indices} of
+    :func:`extract_tagged_component_surfaces` (the reference returns
+    map<component, surface index map>)."""
+    surf = np.asarray(extract_tagged_component_surfaces(tmap, component_types))
+    comp = np.asarray(tmap.component)
+    out: Dict[int, np.ndarray] = {}
+    for c in np.unique(comp[surf]):
+        out[int(c)] = np.argwhere(surf & (comp == c))
+    return out
+
+
 def update_tagged_connected_components(
     tmap: TaggedCollisionMap,
 ) -> Tuple[TaggedCollisionMap, Array]:

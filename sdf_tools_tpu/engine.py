@@ -42,6 +42,9 @@ class SdfEngine:
         fov_deg: float = 50.0,
         render_t_max: Optional[float] = None,
         render_max_steps: int = 96,
+        render_eps: float = 1e-3,
+        render_backend: str = "auto",
+        render_up: Tuple[float, float, float] = (0.0, 0.0, 1.0),
     ):
         if origin is None:
             origin = make_origin_transform([0.0, 0.0, 0.0])
@@ -89,12 +92,17 @@ class SdfEngine:
         t_max = self.render_t_max
         msteps = self.render_max_steps
         fov = self.fov_deg
+        self.render_eps = float(render_eps)
+        self.render_backend = render_backend
+        self.render_up = tuple(float(u) for u in render_up)
 
-        @jax.jit
-        def _render(values, cam, look_at):
+        @partial(jax.jit, static_argnames=("eps", "backend"))
+        def _render(values, cam, look_at, up, eps, backend):
             s = SdfGrid.create(values, meta, oob)
-            o, v = render.camera_rays(cam, look_at, jnp.asarray([0.0, 0.0, 1.0]), fov, h, w)
-            out = render.render_depth(s, o, v, t_max=t_max, max_steps=msteps)
+            o, v = render.camera_rays(cam, look_at, up, fov, h, w)
+            out = render.render_depth(
+                s, o, v, t_max=t_max, eps=eps, max_steps=msteps, backend=backend
+            )
             return out.depth, out.hit
 
         self._sdf_from_mask = _sdf_from_mask
@@ -120,11 +128,26 @@ class SdfEngine:
     def query_with_grad(self, sdf: SdfGrid, points):
         return self._query_with_grad(sdf.values, jnp.asarray(points))
 
-    def render(self, sdf: SdfGrid, camera_pos, look_at) -> Tuple[Array, Array]:
+    def render(
+        self,
+        sdf: SdfGrid,
+        camera_pos,
+        look_at,
+        up=None,
+        eps: Optional[float] = None,
+        backend: Optional[str] = None,
+    ) -> Tuple[Array, Array]:
+        """Render a depth image. ``up``/``eps``/``backend`` default to the
+        engine's construction-time settings; overriding ``eps`` or
+        ``backend`` compiles a new variant (cached per distinct value)."""
+        up = self.render_up if up is None else up
         return self._render(
             sdf.values,
             jnp.asarray(camera_pos, jnp.float32),
             jnp.asarray(look_at, jnp.float32),
+            jnp.asarray(up, jnp.float32),
+            self.render_eps if eps is None else float(eps),
+            self.render_backend if backend is None else backend,
         )
 
     def warmup(self, n_points: int = 1024, n_queries: int = 1024):

@@ -221,14 +221,33 @@ def gradient(
     return rotate_points(sdf.meta.origin_transform[:3, :3], g), valid
 
 
-def full_gradient(sdf: SdfGrid, enable_edge_gradients: bool = True) -> Array:
+def full_gradient(
+    sdf: SdfGrid,
+    enable_edge_gradients: bool = True,
+    gradient_function=None,
+) -> Array:
     """Dense world-frame gradient field [nx, ny, nz, 3].
 
     Replaces ``GetFullGradient`` (sdf.hpp:341-358) — the reference calls a
     std::function per cell; here the whole field is three shifted-array
     subtractions. Cells the reference would give "no gradient" (edges with
     enable_edge_gradients=False) get zeros.
+
+    ``gradient_function``: optional user rule, mirroring the reference's
+    arbitrary ``GradientFunction`` parameter. Called as
+    ``gradient_function(sdf, indices, enable_edge_gradients)`` with the dense
+    [nx, ny, nz, 3] integer index grid; must return [nx, ny, nz, 3]
+    world-frame gradients (batched — the TPU-native analogue of the
+    reference's per-cell callback). None -> the built-in finite-difference
+    rule below (the only rule the reference ecosystem ever passes).
     """
+    if gradient_function is not None:
+        nx, ny, nz = sdf.shape
+        ix = jnp.arange(nx, dtype=jnp.int32)[:, None, None]
+        iy = jnp.arange(ny, dtype=jnp.int32)[None, :, None]
+        iz = jnp.arange(nz, dtype=jnp.int32)[None, None, :]
+        idx = jnp.stack(jnp.broadcast_arrays(ix, iy, iz), axis=-1)
+        return gradient_function(sdf, idx, enable_edge_gradients)
     v = sdf.values
     res = sdf.resolution
 

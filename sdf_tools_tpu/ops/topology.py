@@ -136,7 +136,7 @@ def connected_components_by_key(eligible: Array, key: Array) -> Tuple[Array, Arr
     return connected_components_from_adjacency(eligible, conn)
 
 
-def update_connected_components(cmap: CollisionMap) -> CollisionMap:
+def update_connected_components(cmap: CollisionMap) -> Tuple[CollisionMap, Array]:
     """Reference ``CollisionMapGrid::UpdateConnectedComponents``
     (collision_map.cpp:564-618): 6-connectivity, same binary occupancy
     (occupancy > 0.5), every cell labeled."""
@@ -302,18 +302,157 @@ def component_holes_and_voids(labels: Array, component) -> Tuple[Array, Array]:
     return raw_holes + n_voids, n_voids
 
 
+@partial(jax.jit, static_argnums=(1,))
+def component_topology_census(labels: Array, n_components: int) -> Array:
+    """One-pass (holes, voids) census for ALL components — [n, 2] int32.
+
+    Replaces the per-component loop (each a full-grid pass — the reference's
+    ``collision_map.cpp:620-671`` is likewise serial) with a single pass whose
+    cost is independent of n_components: each vertex's 8-voxel cube holds the
+    labels of every component the vertex can be a surface vertex of, so the
+    M3/M5/M6 exposure census runs per (vertex, distinct-cube-label) pair and
+    reduces into per-label histograms, and ONE joint min-label propagation
+    over (vertex, cube-slot) nodes counts each component's disjoint surface
+    sets (voids). Equal output to :func:`component_holes_and_voids` looped
+    over 1..n (tests/test_topology.py::test_census_matches_per_component).
+    """
+    cubes = _vertex_cube_labels(labels)  # [vx, vy, vz, 8], -1 = out of grid
+    vshape = cubes.shape[:-1]
+    Nv = int(np.prod(vshape))
+    slot = [cubes[..., k] for k in range(8)]
+
+    # eq[k][j] = slot k and slot j hold the same label
+    eq = [[slot[k] == slot[j] for j in range(8)] for k in range(8)]
+    # first occurrence of this label within the cube -> the node's canonical slot
+    first = []
+    for k in range(8):
+        f = jnp.ones(vshape, bool)
+        for j in range(k):
+            f = f & ~eq[k][j]
+        first.append(f)
+
+    # per-(vertex, slot) exposed-edge census w.r.t. that slot's label
+    # edge e exposed <=> its 4 surrounding voxels are mixed (some ==c, some !=c)
+    exposure = []  # [8][6] bool arrays
+    count = [jnp.zeros(vshape, jnp.int32) for _ in range(8)]
+    mixed_cube = []
+    for k in range(8):
+        all_same = jnp.ones(vshape, bool)
+        for j in range(8):
+            all_same = all_same & eq[k][j]
+        mixed_cube.append(~all_same)
+        exp_k = []
+        for e, group in enumerate(_EDGE_GROUPS):
+            any_c = jnp.zeros(vshape, bool)
+            all_c = jnp.ones(vshape, bool)
+            for j in group:
+                any_c = any_c | eq[k][j]
+                all_c = all_c & eq[k][j]
+            mixed_e = any_c & ~all_c
+            exp_k.append(mixed_e)
+            count[k] = count[k] + mixed_e.astype(jnp.int32)
+        exposure.append(exp_k)
+
+    n = int(n_components)
+    valid = [
+        first[k] & (slot[k] >= 1) & (slot[k] <= n) & mixed_cube[k] for k in range(8)
+    ]
+    comp_of = [jnp.clip(slot[k], 0, n) for k in range(8)]
+
+    def hist(pred):
+        h = jnp.zeros(n + 1, jnp.int32)
+        for k in range(8):
+            w = (valid[k] & pred[k]).astype(jnp.int32)
+            h = h + jnp.bincount(
+                comp_of[k].reshape(-1), weights=w.reshape(-1), length=n + 1
+            ).astype(jnp.int32)
+        return h[1:]
+
+    M3 = hist([count[k] == 3 for k in range(8)])
+    M5 = hist([count[k] == 5 for k in range(8)])
+    M6 = hist([count[k] == 6 for k in range(8)])
+
+    # joint surface-vertex CC: node = (vertex, cube label); nodes connect
+    # along exposed vertex edges to the SAME label at the neighbor vertex.
+    # Sentinel must exceed every node id (vertex*8 + slot): use int32 max.
+    BIGN = np.int32(np.iinfo(np.int32).max)
+    flatv = jnp.arange(Nv, dtype=jnp.int32).reshape(vshape) * 8
+    # canonical node id per slot: vertex*8 + first slot holding this label
+    canon_node = []
+    for k in range(8):
+        node = jnp.full(vshape, 7, jnp.int32)
+        for j in range(7, -1, -1):
+            node = jnp.where(eq[k][j], jnp.int32(j), node)
+        canon_node.append(node)
+    lab0 = []
+    for k in range(8):
+        active = (slot[k] >= 1) & (slot[k] <= n) & mixed_cube[k]
+        lab0.append(jnp.where(active, flatv + canon_node[k], BIGN))
+
+    edge_dirs = [(2, -1), (2, 1), (1, -1), (1, 1), (0, -1), (0, 1)]
+
+    def body(state):
+        labs, _ = state
+        new = list(labs)
+        for e, (axis, sign) in enumerate(edge_dirs):
+            lab_nb = [_shift(labs[j], axis, sign, BIGN) for j in range(8)]
+            slot_nb = [_shift(slot[j], axis, sign, -2) for j in range(8)]
+            for k in range(8):
+                cand = jnp.full(vshape, BIGN, jnp.int32)
+                for j in range(8):
+                    m = slot[k] == slot_nb[j]
+                    cand = jnp.minimum(cand, jnp.where(m, lab_nb[j], BIGN))
+                cand = jnp.where(exposure[k][e], cand, BIGN)
+                new[k] = jnp.minimum(new[k], cand)
+        # within-vertex canonicalization: same-label slots share the min
+        canon = list(new)
+        for k in range(8):
+            for j in range(8):
+                if j == k:
+                    continue
+                canon[k] = jnp.minimum(
+                    canon[k], jnp.where(eq[k][j], new[j], BIGN)
+                )
+        done = jnp.array(True)
+        for k in range(8):
+            done = done & jnp.all(canon[k] == labs[k])
+        return tuple(canon), done
+
+    def cond(state):
+        _, done = state
+        return ~done
+
+    labs0 = tuple(lab0)
+    done0 = jnp.array(False)
+    labs, _ = lax.while_loop(cond, body, (labs0, done0))
+
+    # roots: active node whose label equals its own id -> one per surface set
+    # (count only at the canonical slot so each node is counted once)
+    n_surf = jnp.zeros(n + 1, jnp.int32)
+    for k in range(8):
+        is_root = valid[k] & (labs[k] == flatv + canon_node[k])
+        n_surf = n_surf + jnp.bincount(
+            comp_of[k].reshape(-1),
+            weights=is_root.astype(jnp.int32).reshape(-1),
+            length=n + 1,
+        ).astype(jnp.int32)
+    n_voids = jnp.maximum(n_surf[1:] - 1, 0)
+    holes = 1 + (M5 + 2 * M6 - M3) // 8 + n_voids
+    return jnp.stack([holes, n_voids], axis=-1)
+
+
 def compute_component_topology(labels: Array, n_components: int) -> np.ndarray:
     """Host utility: [(holes, voids)] for components 1..n_components.
 
     Mirrors ``CollisionMapGrid::ComputeComponentTopology``
-    (collision_map.cpp:620-671), which also loops components serially.
+    (collision_map.cpp:620-671) but in ONE device pass for all components
+    (the reference loops components serially; see
+    :func:`component_topology_census`).
     """
-    f = jax.jit(component_holes_and_voids)
-    out = []
-    for c in range(1, int(n_components) + 1):
-        h, v = f(labels, jnp.int32(c))
-        out.append((int(h), int(v)))
-    return np.asarray(out, np.int32)
+    n = int(n_components)
+    if n <= 0:
+        return np.zeros((0, 2), np.int32)
+    return np.asarray(component_topology_census(jnp.asarray(labels), n))
 
 
 # ---------------------------------------------------------------------------

@@ -320,3 +320,41 @@ class TestCheckpoints:
             np.asarray(tmap.convex_segment), np.asarray(tm2.convex_segment)
         )
         assert tm2.convex_segments_valid
+
+
+class TestTaggedParity:
+    def test_resample_tagged(self):
+        tmap = _demo_tmap()
+        tmap, _ = cmo.update_tagged_connected_components(tmap)
+        tmap, _ = cmo.update_convex_segments(tmap, connected_threshold=0.3,
+                                             add_virtual_border=True)
+        up = cmo.resample_tagged(tmap, 0.05)
+        assert up.shape == (24, 24, 8)
+        # all four fields resampled by nearest location
+        # (tagged_object_collision_map.hpp:671)
+        assert np.asarray(up.occupancy)[6, 6, 2] == 1.0
+        assert np.asarray(up.object_id)[6, 6, 2] == 1
+        assert np.asarray(up.object_id)[18, 18, 2] == 2
+        assert np.asarray(up.component)[6, 6, 2] == np.asarray(tmap.component)[3, 3, 1]
+        assert (
+            np.asarray(up.convex_segment)[6, 6, 2]
+            == np.asarray(tmap.convex_segment)[3, 3, 1]
+        )
+        down = cmo.resample_tagged(tmap, 0.2)
+        assert down.shape == (6, 6, 2)
+        assert np.asarray(down.object_id)[1, 1, 0] in (0, 1)
+
+    def test_tagged_component_surfaces(self):
+        tmap, n = cmo.update_tagged_connected_components(_demo_tmap())
+        assert int(n) == 3
+        filled = np.asarray(cmo.extract_tagged_component_surfaces(tmap, "filled"))
+        empty = np.asarray(cmo.extract_tagged_component_surfaces(tmap, "empty"))
+        occ = np.asarray(tmap.occupancy)
+        assert filled[2, 2, 1]
+        assert not filled[occ <= 0.5].any()  # surface typed by occupancy
+        assert empty[0, 0, 0]
+        assert not (filled & empty).any()
+        m = cmo.extract_tagged_component_surfaces_map(tmap, "filled")
+        assert len(m) == 2  # two filled components
+        for c, idxs in m.items():
+            assert idxs.shape[1] == 3

@@ -176,3 +176,18 @@ def test_estimate_distance_jit_and_grad_to_values():
     assert np.isfinite(np.asarray(g)).all()
     assert float(jnp.sum(jnp.abs(g))) > 0  # 8 corner cells get weight
     np.testing.assert_allclose(float(jnp.sum(g)), 1.0, rtol=1e-5)  # trilinear weights sum to 1
+
+
+def test_full_gradient_user_function():
+    """GetFullGradient's user GradientFunction parameter (sdf.hpp:341-358):
+    a custom rule must be applied verbatim; the default must equal the
+    built-in finite-difference rule."""
+    sdf, _ = _make_sdf()
+
+    def doubled(s, idx, edge):
+        g, _ = query.gradient(s, idx, enable_edge_gradients=edge)
+        return 2.0 * g
+
+    custom = np.asarray(query.full_gradient(sdf, True, gradient_function=doubled))
+    default = np.asarray(query.full_gradient(sdf, True))
+    np.testing.assert_allclose(custom, 2.0 * default, rtol=1e-6, atol=1e-7)

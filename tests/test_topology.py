@@ -195,3 +195,32 @@ def test_resample_nearest():
     assert out.shape == (8, 8, 8)
     assert new_meta.shape == (8, 8, 8)
     np.testing.assert_allclose(np.asarray(out)[0:2, 0:2, 0:2], vals[0, 0, 0])
+
+
+def test_census_matches_per_component():
+    """One-pass census == per-component loop on random multi-component grids."""
+    rng = np.random.default_rng(3)
+    for shape, p in (((10, 9, 8), 0.35), ((12, 12, 6), 0.5)):
+        mask = rng.random(shape) < p
+        comp, n = topology.connected_components_by_key(
+            jnp.asarray(mask), jnp.asarray(mask, jnp.int32)
+        )
+        n = int(n)
+        census = np.asarray(topology.component_topology_census(comp, n))
+        for c in range(1, n + 1):
+            h, v = topology.component_holes_and_voids(comp, jnp.int32(c))
+            assert (census[c - 1, 0], census[c - 1, 1]) == (int(h), int(v)), (
+                shape, c,
+            )
+
+
+def test_census_torus_and_hollow_cube_joint():
+    """Torus and hollow cube as components of ONE grid, censused jointly."""
+    lab = np.zeros((24, 10, 10), np.int32)
+    lab[2:8, 2:8, 2:4] = 1
+    lab[4:6, 4:6, 2:4] = 0  # torus (genus 1)
+    lab[12:20, 1:9, 1:9] = 2
+    lab[14:18, 3:7, 3:7] = 0  # hollow cube (1 void)
+    out = np.asarray(topology.component_topology_census(jnp.asarray(lab), 2))
+    assert tuple(out[0]) == (1, 0)
+    assert tuple(out[1]) == (0, 1)
