@@ -75,18 +75,50 @@ def sdf_from_occupancy_ft(occupancy, resolution, backend: str = "auto"):
 _FT_NATIVE_BACKENDS = ("auto", "pallas", "stencil")
 
 
+def _per_axis_argmin_ft(mask):
+    """(d2, x0, jy, kz): exact EDT of `mask` plus the PER-PASS winner maps
+    (x-line seed, y-pass winner, z-pass winner) via the argmin-carrying
+    Pallas envelope kernel. Cheaper than the composed feature transform
+    (one payload register per pass instead of 2-3), and the per-pass maps
+    are exactly what the segment-sum backward needs."""
+    import jax as _jax
+    from jax import lax as _lax
+
+    from . import edt_pallas, feature
+
+    interpret = _jax.default_backend() not in ("tpu", "axon")
+    d, x0 = feature._line_seed_x(mask)
+    no_seed = d >= jnp.int32(1 << 24)
+    f = jnp.where(no_seed, jnp.int32(edt.INF_D2), d * d).astype(jnp.int32)
+    f, jy = edt_pallas.envelope_argmin_pallas(f, 1, interpret=interpret)
+    f, kz = edt_pallas.envelope_argmin_pallas(f, 2, interpret=interpret)
+    return f, x0, jy, kz
+
+
 def _ft_fwd(occupancy, resolution, backend):
     from . import feature
 
     mask = occupancy > 0.5
     resolution = jnp.asarray(resolution)
+    resolved = edt.resolve_backend(backend)
+    if resolved == "pallas":
+        # Per-axis residuals: the forward saves each pass's WINNER map (not
+        # the composed feature), so the backward can run as three per-axis
+        # segment sums instead of one 134M scattered scatter-add (the
+        # scatter wall, ~85 M updates/s — docs/NOTES.md §13a). The d^2 of
+        # the winner passes IS the exact EDT, so the signed values come
+        # from the same arrays (no duplicate EDT in the grad path).
+        d2_filled, x0_f, jy_f, kz_f = _per_axis_argmin_ft(mask)
+        d2_free, x0_g, jy_g, kz_g = _per_axis_argmin_ft(~mask)
+        values = edt.d2_to_distance(d2_filled, resolution) - edt.d2_to_distance(
+            d2_free, resolution
+        )
+        valid_f = d2_filled < jnp.int32(edt.INF_D2)
+        valid_g = d2_free < jnp.int32(edt.INF_D2)
+        winners = ((x0_f, jy_f, kz_f), (x0_g, jy_g, kz_g))
+        return values, (mask, winners, (valid_f, valid_g), resolution)
     if backend in _FT_NATIVE_BACKENDS:
-        # Single pass: the feature transform's d^2 IS the exact EDT
-        # (bit-equal; tests/test_diff.py), so the signed values come from
-        # the same arrays and the composed features ride along as
-        # residuals. This halves the grad-path work vs running
-        # signed_field_from_masks forward and recomputing both feature
-        # transforms in the backward.
+        # stencil path (CPU): composed features + one scatter-add
         nx, ny, nz = mask.shape
         d2_filled, feat_filled = feature.feature_transform(mask, backend)
         d2_free, feat_free = feature.feature_transform(~mask, backend)
@@ -105,6 +137,30 @@ def _ft_fwd(occupancy, resolution, backend):
 
 
 def _ft_bwd(backend, residuals, g):
+    resolved = edt.resolve_backend(backend)
+    if resolved == "pallas":
+        import jax as _jax
+
+        from . import edt_pallas
+
+        mask, winners, valids, resolution = residuals
+        (x0_f, jy_f, kz_f), (x0_g, jy_g, kz_g) = winners
+        valid_f, valid_g = valids
+        interpret = _jax.default_backend() not in ("tpu", "axon")
+
+        def route(contrib, x0, jy, kz):
+            # adjoint of the winner composition feat(i) = x0[jy*[kz]] —
+            # route cotangents back through z, then y, then the x line
+            c = edt_pallas.winner_segment_sum_pallas(contrib, kz, 2, interpret)
+            c = edt_pallas.winner_segment_sum_pallas(c, jy, 1, interpret)
+            return edt_pallas.winner_segment_sum_pallas(c, x0, 0, interpret)
+
+        slope = g * (-2.0 * resolution)
+        # free cells' features live in the FILLED transform and vice versa
+        c_f = jnp.where(~mask & valid_f, slope, 0.0)
+        c_g = jnp.where(mask & valid_g, slope, 0.0)
+        d_occ = route(c_f, x0_f, jy_f, kz_f) + route(c_g, x0_g, jy_g, kz_g)
+        return d_occ, None
     if backend in _FT_NATIVE_BACKENDS:
         flat, valid, resolution = residuals
         contrib = jnp.where(valid, g * (-2.0 * resolution), 0.0)

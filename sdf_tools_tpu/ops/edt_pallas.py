@@ -303,6 +303,88 @@ def envelope_argmin_pallas(f: jax.Array, axis: int, interpret: bool = False):
     return out, j
 
 
+def _segsum_axis0_kernel(n: int, g_ref, w_ref, out_ref):
+    """out[j, y, z] = sum_i g[i, y, z] * [w[i, y, z] == j] along axis 0.
+
+    The adjoint of a winner-indexed gather (out[i] = prev[win[i]]) is a
+    per-line segment sum into the winners. A scattered XLA scatter-add rides
+    the ~85 M updates/s HBM-transaction wall (docs/NOTES.md §13a); here the
+    whole line lives on the block's MAJOR dim, so each of the n steps is a
+    fully-vectorized one-hot accumulate (compare + select-add over the
+    block) with a cheap major-dim row read — no scatters, no gathers. Work
+    is O(n) per cell (n steps x full block) but runs at VPU throughput.
+    """
+    iota0 = lax.broadcasted_iota(jnp.int32, out_ref.shape, 0)
+
+    def body(i, acc):
+        gi = g_ref[i]  # [yt, zt] row, broadcast over the major dim
+        wi = w_ref[i]
+        hit = iota0 == wi[None]
+        return jnp.where(hit, acc + gi[None], acc)
+
+    out_ref[:] = lax.fori_loop(
+        0, n, body, jnp.zeros(out_ref.shape, out_ref.dtype)
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("axis", "interpret"))
+def winner_segment_sum_pallas(
+    g: jax.Array, win: jax.Array, axis: int, interpret: bool = False
+) -> jax.Array:
+    """out[..., j, ...] = sum over i along `axis` of g where win == j.
+
+    Exact adjoint of the per-axis winner gather `out[i] = prev[..., win[i],
+    ...]` used by the feature-transform composition; see
+    `_segsum_axis0_kernel`. The reduction axis is moved to the array-major
+    position (an XLA transpose, ~HBM-bandwidth) so the kernel's inner loop
+    indexes whole rows instead of lanes.
+    """
+    if g.shape != win.shape:
+        raise ValueError((g.shape, win.shape))
+    n = g.shape[axis]
+    if n == 1:
+        return g
+    gm = jnp.moveaxis(g, axis, 0)
+    wm = jnp.moveaxis(win, axis, 0).astype(jnp.int32)
+    shape = gm.shape
+    flat = gm.reshape(n, -1)
+    wflat = wm.reshape(n, -1)
+    M = flat.shape[1]
+    # pad the minor dim to a lane multiple; padded lanes carry win=-1 (no hit)
+    zt = 128 if M >= 128 else M
+    pad = (-M) % zt
+    if pad:
+        flat = jnp.pad(flat, ((0, 0), (0, pad)))
+        wflat = jnp.pad(wflat, ((0, 0), (0, pad)), constant_values=-1)
+    Mp = M + pad
+    cols = Mp // zt
+    g3 = flat.reshape(n, cols, zt)
+    w3 = wflat.reshape(n, cols, zt)
+    # ~2MB g-block (4 live arrays: g, w, acc carry, out)
+    yt_target = max(1, 2 * 1024 * 1024 // (n * zt * 4))
+    if cols % 8 == 0 and yt_target >= 8:
+        yt = _pick_tile(cols // 8, yt_target // 8) * 8
+    else:
+        yt = _pick_tile(cols, yt_target)
+    block = (n, yt, zt)
+    grid = (cols // yt,)
+    spec = pl.BlockSpec(block, lambda i: (0, i, 0), memory_space=pltpu.VMEM)
+    kernel = functools.partial(_segsum_axis0_kernel, n)
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[spec, spec],
+        out_specs=spec,
+        out_shape=_out_struct(g, g3.shape, g.dtype),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=min(100 * 1024 * 1024, 8 * n * yt * zt * 4)
+        ),
+        interpret=interpret,
+    )(g3, w3)
+    out = out.reshape(n, Mp)[:, :M].reshape(shape)
+    return jnp.moveaxis(out, 0, axis)
+
+
 def _pick_tile(total: int, target: int) -> int:
     """Largest divisor of `total` that is <= target."""
     t = min(target, total)

@@ -291,20 +291,33 @@ def _std_bwd(t_min, t_max, eps, max_steps, min_step, backend, residuals, cotange
     # Implicit function theorem at the hit surface:
     #   F(t, values, o, v) = d(o + t v; values) = eps
     #   dt/dvalues = -(dd/dvalues) / (grad d . v), similarly for o and v.
-    def dist_fn(vals, o, v, t):
-        s = SdfGrid(values=vals, meta=meta, oob_value=oob)
-        d, _ = query.estimate_distance(s, o + t[..., None] * v)
-        return d
-
+    #
+    # Everything the IFT needs comes from ONE trilinear stencil at the hit
+    # points (query.interpolation_stencil): the 8 corner indices/weights
+    # give dd/dvalues (one 8-corner scatter-add), and the analytic
+    # grid-frame gradient gives the surface normal. The previous jax.vjp
+    # formulation re-ran estimate_distance under vjp PLUS a separate
+    # autodiff_gradient — ~4x the scattered gathers for identical values
+    # (measured 1.69 -> this path's Mrays/s in BENCH_r04).
     hit_pts = origins + depth[..., None] * directions
-    n = query.autodiff_gradient(sdf, hit_pts)  # world-frame surface gradient
+    idx8, w8, _, grad_grid, in_bounds = query.interpolation_stencil(sdf, hit_pts)
+    from ..grid import rotate_points
+
+    n = rotate_points(meta.origin_transform[:3, :3], grad_grid)  # world frame
     dF_dt = jnp.sum(n * directions, axis=-1)
     # guard near-tangent rays; sign convention: marching outside-in, dF_dt < 0
     safe = jnp.where(jnp.abs(dF_dt) > 1e-6, dF_dt, jnp.where(dF_dt >= 0, 1e-6, -1e-6))
-    scale = jnp.where(hit, -g_depth / safe, 0.0)
+    scale = jnp.where(hit & in_bounds, -g_depth / safe, 0.0)
 
-    _, vjp = jax.vjp(dist_fn, values, origins, directions, depth)
-    d_values, d_origins, d_directions, d_t = vjp(scale)
+    d_values = (
+        jnp.zeros(values.size, values.dtype)
+        .at[idx8.reshape(-1)]
+        .add((w8 * scale[..., None]).reshape(-1), mode="drop")
+        .reshape(values.shape)
+    )
+    sn = scale[..., None] * n
+    d_origins = sn
+    d_directions = sn * depth[..., None]
     zero_meta = jax.tree_util.tree_map(jnp.zeros_like, meta_and_oob)
     return d_values, zero_meta, d_origins, d_directions
 

@@ -206,3 +206,54 @@ def test_ft_surrogate_forward_matches_st():
     a = diff.sdf_from_occupancy_st(occ, jnp.float32(0.1), "stencil")
     b = diff.sdf_from_occupancy_ft(occ, jnp.float32(0.1), "stencil")
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_ft_backward_pallas_matches_scatter():
+    """The per-axis winner segment-sum backward (pallas path; interpret on
+    CPU) must produce the same d_occ as the composed-feature scatter-add
+    (stencil path) — up to argmin ties, where any nearest seed is a correct
+    routing target; tie-free scenes must match exactly."""
+    rng = np.random.default_rng(7)
+    n, res = 12, 0.1
+    # tie-free-ish scene: isolated cells (ties between equal-distance seeds
+    # can legitimately differ between backends, so compare total mass AND
+    # exact equality on a scene built to avoid ties)
+    occ = np.zeros((n, n, n), np.float32)
+    occ[5, 5, 5] = 1.0
+    occ[1, 2, 9] = 1.0
+
+    cot = rng.standard_normal((n, n, n)).astype(np.float32)
+
+    def grad_via(backend):
+        def loss(o):
+            vals = diff.sdf_from_occupancy_ft(o, jnp.float32(res), backend)
+            return jnp.sum(vals * cot)
+
+        return np.asarray(jax.grad(loss)(jnp.asarray(occ)))
+
+    g_scatter = grad_via("stencil")
+    g_pallas = grad_via("pallas")
+    # total routed cotangent mass is tie-invariant
+    np.testing.assert_allclose(g_pallas.sum(), g_scatter.sum(), rtol=1e-4)
+    # the filled cells receive the bulk of free-space cotangents; their
+    # Voronoi split can differ only at exact ties
+    np.testing.assert_allclose(g_pallas, g_scatter, rtol=1e-4, atol=2e-2)
+
+
+def test_ft_backward_pallas_random_mass_conservation():
+    rng = np.random.default_rng(19)
+    occ = (rng.random((10, 14, 8)) < 0.2).astype(np.float32)
+    cot = rng.standard_normal(occ.shape).astype(np.float32)
+
+    def routed_mass(backend):
+        def loss(o):
+            vals = diff.sdf_from_occupancy_ft(o, jnp.float32(0.1), backend)
+            return jnp.sum(vals * cot)
+
+        return np.asarray(jax.grad(loss)(jnp.asarray(occ)))
+
+    a = routed_mass("stencil")
+    b = routed_mass("pallas")
+    np.testing.assert_allclose(a.sum(), b.sum(), rtol=1e-4)
+    # valid-masked cotangent mass must be conserved exactly by the routing
+    assert abs(b.sum() - (-2 * 0.1) * cot.sum()) < 1e-3 * abs(cot).sum()

@@ -191,3 +191,42 @@ def test_full_gradient_user_function():
     custom = np.asarray(query.full_gradient(sdf, True, gradient_function=doubled))
     default = np.asarray(query.full_gradient(sdf, True))
     np.testing.assert_allclose(custom, 2.0 * default, rtol=1e-6, atol=1e-7)
+
+
+def test_interpolation_stencil_matches_autodiff():
+    """interpolation_stencil must reproduce estimate_distance's value, the
+    autodiff point-gradient (grid frame), and valid scatter weights
+    (sum w = 1, d(value)/d(corner) = w)."""
+    for rotate in (False, True):
+        sdf, _ = _make_sdf(seed=2, rotate=rotate)
+        rng = np.random.default_rng(5)
+        ext = np.asarray(sdf.meta.sizes)
+        pts_grid = rng.uniform(0.01, 0.99, (64, 3)) * ext
+        pts = np.asarray(sdf.meta.grid_to_world(jnp.asarray(pts_grid, jnp.float32)))
+        pts = jnp.asarray(pts)
+
+        idx8, w8, val, grad_grid, ok = query.interpolation_stencil(sdf, pts)
+        ref_val, ref_ok = query.estimate_distance(sdf, pts)
+        np.testing.assert_array_equal(np.asarray(ok), np.asarray(ref_ok))
+        np.testing.assert_allclose(np.asarray(val), np.asarray(ref_val), rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(w8).sum(-1), 1.0, rtol=1e-5)
+
+        # world gradient vs autodiff
+        from sdf_tools_tpu.grid import rotate_points
+
+        n = np.asarray(rotate_points(sdf.meta.origin_transform[:3, :3], grad_grid))
+        ref_n = np.asarray(query.autodiff_gradient(sdf, pts))
+        np.testing.assert_allclose(n, ref_n, rtol=1e-4, atol=1e-5)
+
+        # d(value)/d(corner values) == weights (vjp of estimate_distance)
+        cot = np.asarray(rng.standard_normal(val.shape), np.float32)
+
+        def f(vals):
+            s = SdfGrid(values=vals, meta=sdf.meta, oob_value=sdf.oob_value)
+            d, _ = query.estimate_distance(s, pts)
+            return jnp.sum(d * cot)
+
+        ref_dv = np.asarray(jax.grad(f)(sdf.values))
+        dv = np.zeros(sdf.values.size, np.float32)
+        np.add.at(dv, np.asarray(idx8).reshape(-1), (np.asarray(w8) * cot[:, None]).reshape(-1))
+        np.testing.assert_allclose(dv.reshape(sdf.values.shape), ref_dv, rtol=1e-4, atol=1e-6)
