@@ -49,7 +49,12 @@ def _out_struct(x, shape, dtype):
 _CHECK_EVERY = 8
 
 # Per-block byte budget (input block; ~6-8 live copies fit in 16MB VMEM).
-_BLOCK_BYTES = 1 * 1024 * 1024
+# 256KB measured best at 512^3 (vs 1MB: filled y+z 294.9 -> 233.8 ms): the
+# envelope's adaptive iteration count is the MAX winning distance over the
+# tile's lines, so fewer lines per tile track the per-line distribution more
+# tightly (scripts/bench_r4_experiments.py sweep; 128KB regresses — grid
+# overhead wins back the adaptivity gain).
+_BLOCK_BYTES = 256 * 1024
 
 # The line pass is LATENCY-bound (1022 sequential one-row steps whose cost
 # is ~125 ns regardless of row width), so its blocks should be as wide as
@@ -327,6 +332,55 @@ def _segsum_axis0_kernel(n: int, g_ref, w_ref, out_ref):
     )
 
 
+_SEGSUM_CHUNK = 8  # input steps batched per window pass
+_SEGSUM_WIN = 64  # output-row window height per update
+
+
+def _segsum_windowed_kernel(n: int, g_ref, w_ref, out_ref):
+    """Windowed variant of `_segsum_axis0_kernel` for MONOTONE winner maps.
+
+    The EDT winner maps are monotone non-decreasing along the line, so the
+    rows hit by an input chunk [i0, i0+C) lie in the contiguous window
+    [min w, max w] — and the windows telescope: sum of spans <= n + spread.
+    Each chunk updates only ceil(span/W) W-row windows instead of all n
+    rows; measured at 512^3 this is the difference between 203 ms and
+    ~O(spread) ms per pass. Correct for ANY winner map (non-monotone maps
+    just degrade to more windows).
+    """
+    C, W = _SEGSUM_CHUNK, _SEGSUM_WIN
+    yt, zt = out_ref.shape[1], out_ref.shape[2]
+    out_ref[:] = jnp.zeros(out_ref.shape, out_ref.dtype)
+    rows0 = lax.broadcasted_iota(jnp.int32, (W, yt, zt), 0)
+
+    def chunk(c, _):
+        i0 = c * C
+        gi = g_ref[pl.ds(i0, C)]  # [C, yt, zt]
+        wi = w_ref[pl.ds(i0, C)]
+        lo = jnp.clip(jnp.min(wi), 0, n - 1)
+        hi = jnp.minimum(jnp.max(wi), n - 1) + 1  # exclusive
+        # W-ALIGNED windows: they tile [0, n) exactly (W | n), so no window
+        # exceeds the block (pl.ds would silently clamp-shift) and no row is
+        # visited twice per chunk (which would double-count hits)
+        lo_aligned = (lo // W) * W
+
+        def win_cond(base):
+            return base < hi
+
+        def win_body(base):
+            rows = rows0 + base
+            acc = out_ref[pl.ds(base, W)]
+            for k in range(C):
+                hit = rows == wi[k][None]
+                acc = jnp.where(hit, acc + gi[k][None], acc)
+            out_ref[pl.ds(base, W)] = acc
+            return base + W
+
+        lax.while_loop(win_cond, win_body, lo_aligned)
+        return 0
+
+    lax.fori_loop(0, n // C, chunk, 0)
+
+
 @functools.partial(jax.jit, static_argnames=("axis", "interpret"))
 def winner_segment_sum_pallas(
     g: jax.Array, win: jax.Array, axis: int, interpret: bool = False
@@ -369,15 +423,20 @@ def winner_segment_sum_pallas(
     block = (n, yt, zt)
     grid = (cols // yt,)
     spec = pl.BlockSpec(block, lambda i: (0, i, 0), memory_space=pltpu.VMEM)
-    kernel = functools.partial(_segsum_axis0_kernel, n)
+    if n % _SEGSUM_CHUNK == 0 and n % _SEGSUM_WIN == 0 and n > _SEGSUM_WIN:
+        kernel = functools.partial(_segsum_windowed_kernel, n)
+    else:
+        kernel = functools.partial(_segsum_axis0_kernel, n)
     out = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[spec, spec],
         out_specs=spec,
         out_shape=_out_struct(g, g3.shape, g.dtype),
+        # ~9 live block copies (g+w+out double-buffered, acc carry, iota,
+        # where temporaries); measured 17.8MB actual at a 2MB block
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=min(100 * 1024 * 1024, 8 * n * yt * zt * 4)
+            vmem_limit_bytes=min(100 * 1024 * 1024, 16 * n * yt * zt * 4)
         ),
         interpret=interpret,
     )(g3, w3)

@@ -257,3 +257,38 @@ def test_ft_backward_pallas_random_mass_conservation():
     np.testing.assert_allclose(a.sum(), b.sum(), rtol=1e-4)
     # valid-masked cotangent mass must be conserved exactly by the routing
     assert abs(b.sum() - (-2 * 0.1) * cot.sum()) < 1e-3 * abs(cot).sum()
+
+
+def test_winner_segment_sum_windowed_and_simple():
+    """Both segsum kernel paths (windowed: n%8==0, n%64==0, n>64; simple
+    otherwise) == a scatter-add reference, for monotone AND non-monotone
+    winner maps (the windowed path must not double-count at aligned-window
+    boundaries)."""
+    from sdf_tools_tpu.ops import edt_pallas
+
+    rng = np.random.default_rng(23)
+    cases = [((6, 8, 128), 2), ((16, 24, 32), 1), ((12, 10, 8), 0),
+             ((128, 8, 128), 0), ((4, 128, 16), 1), ((6, 8, 256), 2)]
+    for shape, axis in cases:
+        n = shape[axis]
+        g = rng.standard_normal(shape).astype(np.float32)
+        for monotone in (True, False):
+            win = rng.integers(0, n, shape)
+            if monotone:
+                win = np.sort(win, axis=axis)
+            win = win.astype(np.int32)
+            out = np.asarray(
+                edt_pallas.winner_segment_sum_pallas(
+                    jnp.asarray(g), jnp.asarray(win), axis, interpret=True
+                )
+            )
+            gm = np.ascontiguousarray(np.moveaxis(g, axis, -1))
+            wm = np.ascontiguousarray(np.moveaxis(win, axis, -1))
+            ref2d = np.zeros((g.size // n, n), np.float32)
+            np.add.at(
+                ref2d,
+                (np.arange(g.size // n)[:, None], wm.reshape(-1, n)),
+                gm.reshape(-1, n),
+            )
+            ref = np.moveaxis(ref2d.reshape(gm.shape), -1, axis)
+            np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-5)
