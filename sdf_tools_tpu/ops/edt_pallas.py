@@ -118,11 +118,14 @@ def _envelope_kernel(axis: int, n: int, d_ref, out_ref):
     out_ref[:] = d_final
 
 
-def _line_pass_kernel(n: int, mask_ref, out_ref):
-    """Binary line pass along axis 0 of block [X, yt, zt]: exact squared
-    distance (int32) to the nearest seed along x; lines without seeds get
-    INF_D2. Two sequential sweeps over the major dim — each step is one
-    [yt, zt] vector op, so the whole pass is a single HBM read+write."""
+def _line_pass_kernel(n: int, square: bool, mask_ref, out_ref):
+    """Binary line pass along axis 0 of block [X, yt, zt]: exact distance to
+    the nearest seed along x (squared int32 with INF_D2 sentinel when
+    ``square``, else linear with the 1<<24 sentinel `edt.line_distance_to_
+    seed` uses — the sharded line pass combines boundary summaries on the
+    LINEAR distance before squaring). Two sequential sweeps over the major
+    dim — each step is one [yt, zt] vector op, so the whole pass is a
+    single HBM read+write."""
     BIG = n  # any real line distance is <= n-1
 
     d0 = jnp.where(mask_ref[:] != 0, 0, BIG)
@@ -143,16 +146,23 @@ def _line_pass_kernel(n: int, mask_ref, out_ref):
 
     lax.fori_loop(0, n - 1, bwd, 0)
     d = out_ref[:]
-    out_ref[:] = jnp.where(d >= BIG, INF_D2, d * d)
+    if square:
+        out_ref[:] = jnp.where(d >= BIG, INF_D2, d * d)
+    else:
+        out_ref[:] = jnp.where(d >= BIG, 1 << 24, d)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def line_pass_pallas(mask: jax.Array, interpret: bool = False) -> jax.Array:
-    """Squared line distance along axis 0 of a 3D bool/int mask (Pallas)."""
+@functools.partial(jax.jit, static_argnames=("interpret", "square"))
+def line_pass_pallas(
+    mask: jax.Array, interpret: bool = False, square: bool = True
+) -> jax.Array:
+    """Line distance along axis 0 of a 3D bool/int mask (Pallas); squared
+    with INF_D2 sentinel by default, linear with the 1<<24 sentinel when
+    ``square=False`` (sharded boundary combine)."""
     X, Y, Z = mask.shape
     if Z == 1 and Y > 1:
         # 2D grids: put the non-trivial axis on lanes (see envelope note)
-        out = line_pass_pallas(mask.reshape(X, 1, Y), interpret)
+        out = line_pass_pallas(mask.reshape(X, 1, Y), interpret, square)
         return out.reshape(X, Y, 1)
     zt = _lane_tile(Z)
     # second-to-last block dim must be a multiple of 8 (or the full axis)
@@ -164,7 +174,7 @@ def line_pass_pallas(mask: jax.Array, interpret: bool = False) -> jax.Array:
     grid = (Y // yt, Z // zt)
     block = (X, yt, zt)
     index_map = lambda i, j: (0, i, j)
-    kernel = functools.partial(_line_pass_kernel, X)
+    kernel = functools.partial(_line_pass_kernel, X, square)
     # in+out double-buffered = 4 live block copies; raise the scoped-VMEM
     # limit (default 16MB) accordingly — v5e has 128MB physical VMEM
     vmem_bytes = min(100 * 1024 * 1024, 6 * X * yt * zt * 4)

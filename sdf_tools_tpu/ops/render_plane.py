@@ -1373,8 +1373,11 @@ def _plane_sweep_core(
     # measured flag volume on the bench scene is ~350/Mray (the deep-dip
     # gate + imm-witness skip removed the ~100k/Mray flood); overflow
     # cascades to the compacted exact-march resume, so a tight budget is
-    # safe — it only shifts WHERE overflow rays get their exact answer
-    KR = min(4096, N)
+    # safe — it only shifts WHERE overflow rays get their exact answer.
+    # Budgets are sized ~3x the measured production counts (352 flagged /
+    # 101 resumed at 1Mray): each exact_window lane costs 25x8 scattered
+    # gathers whether or not a ray fills it.
+    KR = min(1024, N)
     idxs, f_sel, kr_overflow = compact_indices(flagged, KR)
     n_flagged = jnp.sum(flagged)
     anyb, t_ver = exact_window(idxs, depth_f[idxs], f_sel)
@@ -1425,7 +1428,7 @@ def _plane_sweep_core(
     # point) — compacted so the cost is O(KD rays), not a full-image
     # fallback. Budget overflow cascades to the global unresolved fallback.
     march_mask = (demoted & ~nm_confirmed) | kr_overflow | nm_overflow
-    KD = min(2048, N)
+    KD = min(512, N)
     md_idxs, md_sel, md_overflow = compact_indices(march_mask, KD)
     unresolved = unresolved | md_overflow
     n_resumed = jnp.sum(march_mask)
@@ -1463,6 +1466,24 @@ def _plane_sweep_core(
         model_bits,
         exec_total,
     )
+
+
+def tile_regroup(x: Array, h: int, w: int, th: int = 8, tw: int = 16) -> Array:
+    """Apply `tile_perm`'s row permutation to [N, ...] as reshape+transpose."""
+    trail = x.shape[1:]
+    nimg = x.shape[0] // (h * w)
+    y = x.reshape((nimg, h // th, th, w // tw, tw) + trail)
+    y = jnp.moveaxis(y, 2, 3)
+    return y.reshape((x.shape[0],) + trail)
+
+
+def tile_ungroup(x: Array, h: int, w: int, th: int = 8, tw: int = 16) -> Array:
+    """Inverse of :func:`tile_regroup`."""
+    trail = x.shape[1:]
+    nimg = x.shape[0] // (h * w)
+    y = x.reshape((nimg, h // th, w // tw, th, tw) + trail)
+    y = jnp.moveaxis(y, 3, 2)
+    return y.reshape((x.shape[0],) + trail)
 
 
 def tile_perm(h: int, w: int, n_rays: int, th: int = 8, tw: int = 16):
@@ -1536,9 +1557,12 @@ def plane_sweep_depth(
         h, w = batch_shape[-2], batch_shape[-1]
         TH, TW = 8, 16
         if h % TH == 0 and w % TW == 0:
-            perm, inv_perm = tile_perm(h, w, N)
-            of = of[perm]
-            vf = vf[perm]
+            # apply the tile permutation as a reshape+transpose (XLA
+            # transposes run near HBM bandwidth; `x[perm]` lowers to a
+            # generic gather — several ms/frame at 1M rays)
+            of = tile_regroup(of, h, w)
+            vf = tile_regroup(vf, h, w)
+            inv_perm = True
     Np = ((N + LANES - 1) // LANES) * LANES
     if Np != N:
         pado = jnp.broadcast_to(
@@ -1600,9 +1624,10 @@ def plane_sweep_depth(
     steps = jnp.where(unresolved, fb_s, steps)
 
     if inv_perm is not None:
-        depth = depth[:N][inv_perm]
-        hit = hit[:N][inv_perm]
-        steps = steps[:N][inv_perm]
+        h, w = batch_shape[-2], batch_shape[-1]
+        depth = tile_ungroup(depth[:N], h, w)
+        hit = tile_ungroup(hit[:N], h, w)
+        steps = tile_ungroup(steps[:N], h, w)
     out = (
         depth[:N].reshape(batch_shape),
         hit[:N].reshape(batch_shape),

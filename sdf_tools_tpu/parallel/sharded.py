@@ -69,8 +69,18 @@ def _local_line_d2_sharded_axis0(mask_local: Array, axis_name: str) -> Array:
     """
     n_local = mask_local.shape[0]
     idx = lax.axis_index(axis_name)
-    # local pass
-    d_local = edt.line_distance_to_seed(mask_local, 0)  # int32, sentinel ~2^24
+    # local pass: the Pallas line kernel where available — the XLA cummax
+    # variant costs ~110 ms/field at 512^3 vs ~8 ms (docs/NOTES.md §5) and
+    # was the bulk of the measured 19% mesh=1 sharding overhead
+    if edt.resolve_backend("auto") == "pallas":
+        from ..ops import edt_pallas
+
+        interpret = jax.default_backend() not in ("tpu", "axon")
+        d_local = edt_pallas.line_pass_pallas(
+            mask_local, interpret=interpret, square=False
+        )
+    else:
+        d_local = edt.line_distance_to_seed(mask_local, 0)  # sentinel ~2^24
     SENT = jnp.int32(1 << 24)
     # per-line: distance from the low boundary (cell 0 of this shard) to the
     # nearest local seed, and from the high boundary
