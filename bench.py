@@ -147,9 +147,16 @@ def bench_render_bwd(mask: np.ndarray, repeats: int = 3):
 
     # scalar-fetch timing (docs/NOTES.md §8): sum the gradient on device;
     # rays passed as args (closure constant-folding hazard, see bench_render)
-    f = jax.jit(
-        lambda v, o, d: jnp.sum(jax.grad(loss)(v, o, d)) + loss(v, o, d)
-    )
+    # value_and_grad shares ONE forward between value and gradient — the
+    # previous grad(loss) + loss(...) form relied on XLA CSE to merge the
+    # two forward subgraphs, which is not guaranteed across a custom_vjp
+    vg = jax.value_and_grad(loss)
+
+    def _vg_scalar(v, o, d):
+        val, g = vg(v, o, d)
+        return val + jnp.sum(g)
+
+    f = jax.jit(_vg_scalar)
     _ = float(f(sdf.values, origins, dirs))
     times = []
     for _ in range(repeats):

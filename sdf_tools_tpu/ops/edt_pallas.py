@@ -424,12 +424,14 @@ def winner_segment_sum_pallas(
     cols = Mp // zt
     g3 = flat.reshape(n, cols, zt)
     w3 = wflat.reshape(n, cols, zt)
-    # ~2MB g-block (4 live arrays: g, w, acc carry, out)
-    yt_target = max(1, 2 * 1024 * 1024 // (n * zt * 4))
-    if cols % 8 == 0 and yt_target >= 8:
+    # ~2MB g-block (4 live arrays: g, w, acc carry, out); the sublane dim
+    # must be a multiple of 8 (or the full axis), so at large n the block
+    # floor is 8 rows — still < 1/4 of VMEM at n=1024
+    yt_target = max(8, 2 * 1024 * 1024 // (n * zt * 4))
+    if cols % 8 == 0:
         yt = _pick_tile(cols // 8, yt_target // 8) * 8
     else:
-        yt = _pick_tile(cols, yt_target)
+        yt = cols  # full axis (small/odd shapes)
     block = (n, yt, zt)
     grid = (cols // yt,)
     spec = pl.BlockSpec(block, lambda i: (0, i, 0), memory_space=pltpu.VMEM)

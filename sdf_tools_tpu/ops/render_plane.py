@@ -1186,12 +1186,27 @@ def _plane_sweep_core(
     )
 
     # ---- transposed volumes ----------------------------------------------
+    # Only materialize a permuted copy when SOME row actually marches that
+    # axis: a 512^3 minor-dim transpose costs ~15-25 ms/frame and a typical
+    # camera bundle is single-axis-dominant (zeros are ~1 ms). Axis 0's
+    # perm is the identity (free).
     vols = []
     for a in range(3):
-        if supported[a]:
-            vols.append(jnp.transpose(values, _perm(a)))
-        else:
+        if not supported[a]:
             vols.append(jnp.zeros((PB, BY, BZ), values.dtype))
+            continue
+        p = _perm(a)
+        if p == (0, 1, 2):
+            vols.append(values)
+            continue
+        shape_a = tuple(values.shape[i] for i in p)
+        vols.append(
+            lax.cond(
+                jnp.any((info["axis_r"] == a) & (info["n_live"] > 0)),
+                lambda p=p: jnp.transpose(values, p),
+                lambda shape_a=shape_a: jnp.zeros(shape_a, values.dtype),
+            )
+        )
 
     if refine_mode is None:
         # trace-time default (None is the jit-static key, so one env value
