@@ -173,19 +173,18 @@ def interpolation_stencil(sdf: SdfGrid, points: Array):
     flat = sdf.values.reshape(-1)
     half = res * 0.5
 
-    def corner(ix, iy, iz):
-        fi = (ix * ny + iy) * nz + iz
-        v = flat[fi]
-        return fi, jnp.where(v >= 0.0, v - half, v + half)
-
+    # ONE stacked gather for all 8 corners (8 separate 1M-index gathers
+    # serialize their dispatch; a single 8M-index gather pipelines the HBM
+    # transactions)
     idx8 = []
-    c8 = []
     for ix in (lx, ux):
         for iy in (ly, uy):
             for iz in (lz, uz):
-                fi, c = corner(ix, iy, iz)
-                idx8.append(fi)
-                c8.append(c)
+                idx8.append((ix * ny + iy) * nz + iz)
+    idx8s = jnp.stack(idx8, axis=-1)  # [..., 8]
+    v8 = flat[idx8s]
+    c8s = jnp.where(v8 >= 0.0, v8 - half, v8 + half)
+    c8 = [c8s[..., k] for k in range(8)]
 
     inv_res = 1.0 / res
     axp = (g[..., 0] - (lx.astype(g.dtype) + 0.5) * res) * inv_res
@@ -217,7 +216,7 @@ def interpolation_stencil(sdf: SdfGrid, points: Array):
                 k += 1
     grad_grid = jnp.stack([gx, gy, gz], axis=-1) * inv_res
     return (
-        jnp.stack(idx8, axis=-1),
+        idx8s,
         jnp.stack(w8, axis=-1),
         value,
         grad_grid,

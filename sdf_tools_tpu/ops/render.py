@@ -49,6 +49,7 @@ def _trace_depth(
     eps: float,
     max_steps: int,
     min_step,
+    coarse: bool = True,
 ) -> Tuple[Array, Array, Array]:
     s = SdfGrid(values=values, meta=sdf.meta, oob_value=sdf.oob_value)
     o = origins
@@ -98,7 +99,10 @@ def _trace_depth(
     factor = 8
     nx, ny, nz = s.meta.shape
     coarse_steps = max(8, max_steps // 8)
-    if min(nx, ny, nz) >= 4 * factor:
+    # `coarse=False`: skip building the min-pooled level — 3 reduce_window
+    # passes over the full volume, worth it for full frames but not for the
+    # few hundred compacted resume rays in the plane-sweep tail
+    if coarse and min(nx, ny, nz) >= 4 * factor:
         window = factor + 2
         # separable min-pool (3 x 1-D windows; a single 10^3 reduce_window
         # costs ~1000 ops/voxel, separable costs ~30)

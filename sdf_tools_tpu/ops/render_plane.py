@@ -1454,7 +1454,8 @@ def _plane_sweep_core(
     )  # dead rays miss the AABB instantly
     v_m = directions[md_idxs]
     d_m, h_m, _ = _render._trace_depth(
-        values, sdf_v, o_m, v_m, t_min, t_max, eps, max_steps, min_step
+        values, sdf_v, o_m, v_m, t_min, t_max, eps, max_steps, min_step,
+        coarse=False,
     )
     hit_f = hit_f.at[md_idxs].set(
         jnp.where(md_sel, h_m, hit_f[md_idxs])

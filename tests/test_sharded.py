@@ -385,3 +385,63 @@ def test_train_step_hlo_has_no_volume_sized_collectives():
     assert biggest < volume_elems, (
         f"volume-sized collective found: {biggest} elems >= {volume_elems}"
     )
+
+
+def test_sharded_render_2d_mesh_rays_x_slabs():
+    """2-D mesh (dp x-slabs): rays sharded over 'dp', the volume over 'x'.
+
+    Ray parallelism composes with the slab renderer unchanged — each
+    (dp, x) device renders ITS ray shard over ITS slab and the
+    min-composite runs over 'x' only; gathering ray shards over 'dp'
+    reassembles the full image. Must equal the unsharded march."""
+    from sdf_tools_tpu.grid import GridMeta, make_origin_transform
+    from sdf_tools_tpu.ops import edt as edt_ops
+    from sdf_tools_tpu.ops import render
+
+    nx, ny, nz, res = 32, 24, 16, 0.1
+    rng = np.random.default_rng(11)
+    mask = rng.random((nx, ny, nz)) < 0.04
+    mask[12:20, 8:16, 4:12] = True
+    meta = GridMeta.create(make_origin_transform([0.0, 0.0, 0.0]), res, (nx, ny, nz))
+    sdf, _ = edt_ops.extract_signed_distance_field(
+        jnp.asarray(mask), meta, oob_value=1e3, backend="stencil"
+    )
+    center = np.array([0.5 * nx, 0.5 * ny, 0.5 * nz]) * res
+    cam = center - np.array([1.5 * nx * res, 0.2, 0.1])
+    origins, dirs = render.camera_rays(
+        jnp.asarray(cam, jnp.float32), jnp.asarray(center, jnp.float32),
+        jnp.asarray([0.0, 0.0, 1.0]), 30.0, 8, 16,
+    )
+    t_max = 4.0 * nx * res
+    o_flat = jnp.asarray(origins.reshape(-1, 3))
+    v_flat = jnp.asarray(dirs.reshape(-1, 3))
+
+    def body(v_local, o_rays, d_rays):
+        # each (dp, x) device: its ray shard over its x-slab; composite
+        # over 'x' only — 'dp' stays sharded and out_specs reassembles
+        return sharded.sharded_render_depth(
+            v_local, meta, 1e3, o_rays, d_rays, "x", halo=2, t_max=t_max,
+            max_steps=96, backend="march",
+        )
+
+    # reference: 1-D x-mesh with replicated rays (covered vs single-device
+    # by test_sharded_render_* above); ray dp-sharding must be EXACTLY
+    # neutral — identical slab volumes, identical per-ray math
+    mesh1 = sharded.make_mesh({"dp": 1, "x": 4})
+    f1 = shard_map(
+        body, mesh=mesh1,
+        in_specs=(P("x"), P("dp"), P("dp")), out_specs=(P("dp"), P("dp")),
+        check_vma=False,
+    )
+    d1, h1 = jax.jit(f1)(sdf.values, o_flat, v_flat)
+
+    mesh2 = sharded.make_mesh({"dp": 2, "x": 4})
+    f2 = shard_map(
+        body, mesh=mesh2,
+        in_specs=(P("x"), P("dp"), P("dp")), out_specs=(P("dp"), P("dp")),
+        check_vma=False,
+    )
+    d2, h2 = jax.jit(f2)(sdf.values, o_flat, v_flat)
+    np.testing.assert_array_equal(np.asarray(h2), np.asarray(h1))
+    np.testing.assert_array_equal(np.asarray(d2), np.asarray(d1))
+    assert np.asarray(h1).any()  # scene actually renders something
