@@ -87,54 +87,13 @@ def estimate_distance(
     points: [..., 3] float. Returns (distance [...], in_bounds [...]).
     Out-of-bounds queries return ``sdf.oob_value`` with in_bounds=False,
     exactly like ``EstimateDistance4d`` (sdf.hpp:947-961).
+
+    Implemented over :func:`interpolation_stencil` (ONE stacked 8-corner
+    gather; the unused weight/gradient outputs are dead-code-eliminated
+    under jit), so every caller — queries, march, verification tail,
+    backward — shares the same gather shape.
     """
-    p = jnp.asarray(points)
-    meta = sdf.meta
-    res = sdf.resolution
-    g = meta.world_to_grid(p)  # [..., 3] grid-frame
-    idx = jnp.floor(g / res).astype(jnp.int32)
-    in_bounds = meta.index_in_bounds(idx)
-    nx, ny, nz = meta.shape
-
-    safe_idx = jnp.clip(idx, 0, jnp.asarray(meta.shape, jnp.int32) - 1)
-    center = (safe_idx.astype(g.dtype) + 0.5) * res
-    offset = g - center
-
-    lx, ux = _axis_interp_indices(safe_idx[..., 0], nx, offset[..., 0])
-    ly, uy = _axis_interp_indices(safe_idx[..., 1], ny, offset[..., 1])
-    lz, uz = _axis_interp_indices(safe_idx[..., 2], nz, offset[..., 2])
-
-    # 8 center-corrected corner distances
-    d_mmm = corrected_center_distance(sdf, lx, ly, lz)
-    d_mmp = corrected_center_distance(sdf, lx, ly, uz)
-    d_mpm = corrected_center_distance(sdf, lx, uy, lz)
-    d_mpp = corrected_center_distance(sdf, lx, uy, uz)
-    d_pmm = corrected_center_distance(sdf, ux, ly, lz)
-    d_pmp = corrected_center_distance(sdf, ux, ly, uz)
-    d_ppm = corrected_center_distance(sdf, ux, uy, lz)
-    d_ppp = corrected_center_distance(sdf, ux, uy, uz)
-
-    # lower-corner cell center in grid frame (reference sdf.hpp:859-862)
-    cx = (lx.astype(g.dtype) + 0.5) * res
-    cy = (ly.astype(g.dtype) + 0.5) * res
-    cz = (lz.astype(g.dtype) + 0.5) * res
-
-    # bilinear in XY at lower/upper Z, then linear in Z (sdf.hpp:700-771)
-    inv_res2 = 1.0 / (res * res)
-    wx_hi = g[..., 0] - cx  # weight on the +x corners
-    wx_lo = (cx + res) - g[..., 0]
-    wy_hi = g[..., 1] - cy
-    wy_lo = (cy + res) - g[..., 1]
-
-    def bilin(ll, lh, hl, hh):
-        return inv_res2 * (
-            wx_lo * (ll * wy_lo + lh * wy_hi) + wx_hi * (hl * wy_lo + hh * wy_hi)
-        )
-
-    mz = bilin(d_mmm, d_mpm, d_pmm, d_ppm)
-    pz = bilin(d_mmp, d_mpp, d_pmp, d_ppp)
-    value = mz + (g[..., 2] - cz) * (pz - mz) / res
-
+    _, _, value, _, in_bounds = interpolation_stencil(sdf, points)
     return jnp.where(in_bounds, value, sdf.oob_value.astype(value.dtype)), in_bounds
 
 
