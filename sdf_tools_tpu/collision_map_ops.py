@@ -46,6 +46,23 @@ def update_connected_components(cmap: CollisionMap) -> Tuple[CollisionMap, Array
     return topology.update_connected_components(cmap)
 
 
+def _typed_component_surface(occupancy: Array, component: Array, component_types: str) -> Array:
+    """Component-surface mask restricted to the requested occupancy type
+    (shared by the collision-map and tagged-map wrappers)."""
+    surf = topology.component_surface_mask(component)
+    if component_types == "filled":
+        sel = occupancy > 0.5
+    elif component_types == "empty":
+        sel = occupancy < 0.5
+    elif component_types == "unknown":
+        sel = occupancy == 0.5
+    elif component_types == "all":
+        sel = jnp.ones_like(occupancy, bool)
+    else:
+        raise ValueError(component_types)
+    return surf & sel
+
+
 def extract_component_surfaces(
     cmap: CollisionMap, component_types: str = "filled"
 ) -> Array:
@@ -53,19 +70,7 @@ def extract_component_surfaces(
     (``collision_map.cpp:697-754``). component_types in
     {"filled", "empty", "unknown", "all"}. Returns a bool mask; combine with
     ``cmap.component`` for per-component surfaces."""
-    surf = topology.component_surface_mask(cmap.component)
-    occ = cmap.occupancy
-    if component_types == "filled":
-        sel = occ > 0.5
-    elif component_types == "empty":
-        sel = occ < 0.5
-    elif component_types == "unknown":
-        sel = occ == 0.5
-    elif component_types == "all":
-        sel = jnp.ones_like(occ, bool)
-    else:
-        raise ValueError(component_types)
-    return surf & sel
+    return _typed_component_surface(cmap.occupancy, cmap.component, component_types)
 
 
 def extract_component_surfaces_map(
@@ -247,19 +252,7 @@ def extract_tagged_component_surfaces(
     (tagged_object_collision_map.hpp:704-722): same semantics as the
     collision-map version, keyed on the tagged grid's occupancy/component.
     component_types in {"filled", "empty", "unknown", "all"}."""
-    surf = topology.component_surface_mask(tmap.component)
-    occ = tmap.occupancy
-    if component_types == "filled":
-        sel = occ > 0.5
-    elif component_types == "empty":
-        sel = occ < 0.5
-    elif component_types == "unknown":
-        sel = occ == 0.5
-    elif component_types == "all":
-        sel = jnp.ones_like(occ, bool)
-    else:
-        raise ValueError(component_types)
-    return surf & sel
+    return _typed_component_surface(tmap.occupancy, tmap.component, component_types)
 
 
 def extract_tagged_component_surfaces_map(

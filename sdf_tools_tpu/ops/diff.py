@@ -82,7 +82,6 @@ def _per_axis_argmin_ft(mask):
     (one payload register per pass instead of 2-3), and the per-pass maps
     are exactly what the segment-sum backward needs."""
     import jax as _jax
-    from jax import lax as _lax
 
     from . import edt_pallas, feature
 
@@ -115,7 +114,13 @@ def _ft_fwd(occupancy, resolution, backend):
         )
         valid_f = d2_filled < jnp.int32(edt.INF_D2)
         valid_g = d2_free < jnp.int32(edt.INF_D2)
-        winners = ((x0_f, jy_f, kz_f), (x0_g, jy_g, kz_g))
+        # winners are axis indices < 32768: int16 residuals halve the
+        # 6-array residual footprint (3.2 GB -> 1.6 GB at 512^3); the
+        # segsum wrapper upcasts on entry
+        winners = tuple(
+            tuple(w.astype(jnp.int16) for w in ws)
+            for ws in ((x0_f, jy_f, kz_f), (x0_g, jy_g, kz_g))
+        )
         return values, (mask, winners, (valid_f, valid_g), resolution)
     if backend in _FT_NATIVE_BACKENDS:
         # stencil path (CPU): composed features + one scatter-add
