@@ -1,0 +1,71 @@
+#!/usr/bin/env python
+"""Round-5 sweep: (2k+1)-tap envelope schedule x pad-vs-mask edge handling.
+
+Times the four 512^3 envelope passes (filled/free x y/z) for each variant,
+checksum-verified against the k=1 masked kernel. Scalar-fetch timing
+(docs/NOTES.md §8: block_until_ready does not wait through the axon tunnel).
+"""
+import sys
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+sys.path.insert(0, "/root/repo")
+import bench
+from sdf_tools_tpu.ops import edt_pallas
+
+n = int(sys.argv[1]) if len(sys.argv) > 1 else 512
+mask = bench.make_scene(n)
+m = jnp.asarray(mask)
+
+f_filled = edt_pallas.line_pass_pallas(m)
+f_free = edt_pallas.line_pass_pallas(~m)
+fields = [("filled", f_filled), ("free", f_free)]
+
+
+def timed(f, *args, reps=3):
+    _ = float(f(*args))
+    ts = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        _ = float(f(*args))
+        ts.append(time.perf_counter() - t0)
+    return float(np.median(ts))
+
+
+ref_sums = {}
+variants = []
+for k in (1, 2, 4, 8):
+    for pad in (False, True):
+        variants.append((k, pad, max(1, 8 // k)))
+# extra check-granularity points for the presumptive winners
+variants += [(4, True, 4), (8, True, 2), (2, True, 8)]
+
+for k, pad, ce in variants:
+    total = 0.0
+    line = f"k={k} pad={int(pad)} ce={ce}:"
+    ok = True
+    for fname, f0 in fields:
+        def run(g, k=k, pad=pad, ce=ce):
+            g1 = edt_pallas.envelope_pass_pallas(g, 1, k=k, pad=pad, check_every=ce)
+            g2 = edt_pallas.envelope_pass_pallas(g1, 2, k=k, pad=pad, check_every=ce)
+            # two f32 checksums (full + low-byte) — robust enough for a sweep;
+            # bit-exactness is re-proven by validate_512.py on the winner
+            return jnp.sum(g2.astype(jnp.float32)) + 1e-3 * jnp.sum(
+                (g2 & 0xFF).astype(jnp.float32)
+            )
+
+        f = jax.jit(run)
+        s = float(f(f0))
+        key = fname
+        if key not in ref_sums:
+            ref_sums[key] = s
+        elif ref_sums[key] != s:
+            ok = False
+        t = timed(f, f0)
+        total += t
+        line += f"  {fname} {t*1e3:7.1f} ms"
+    line += f"  TOTAL {total*1e3:7.1f} ms" + ("" if ok else "  !!! CHECKSUM MISMATCH")
+    print(line, flush=True)

@@ -6,9 +6,10 @@ Implements the reference's field-by-field layouts:
   * CollisionMapGrid     (``collision_map.cpp:21-120``), magic ``CMGZ/CMGR``.
   * TaggedObjectCollisionMapGrid (``tagged_object_collision_map.cpp:23-130``),
     magic ``TCMZ/TCMR``.
-  * "Message" blobs: zlib-compressed SerializeSelf payload, matching the ROS
-    msg convention (``header + uint8[] serialized + bool is_compressed``,
-    ``sdf.cpp:472-502``) minus the ROS header.
+  * "Message" blobs: zlib-compressed SerializeSelf payload (``sdf.cpp:
+    472-502``); ``*_message``/``*_from_message`` additionally apply the full
+    ROS wire envelope (``header + uint8[] + is_compressed``, ``msg/*.msg``)
+    so the complete message byte format round-trips without ROS.
 
 arc_utilities primitive conventions (little-endian):
   * SerializeFixedSizePOD<T>: raw memcpy of T.
@@ -446,3 +447,89 @@ def tagged_map_message_blob(tmap: TaggedCollisionMap) -> bytes:
 def tagged_map_from_message_blob(blob: bytes, is_compressed: bool = True) -> TaggedCollisionMap:
     body = zlib.decompress(blob) if is_compressed else blob
     return deserialize_tagged_map(body)
+
+
+# ---------------------------------------------------------------------------
+# ROS message envelope framing
+#
+# The reference ships its grids over ROS as `header + uint8[] + bool`
+# messages (msg/SDF.msg, msg/CollisionMap.msg, msg/TaggedObjectCollisionMap
+# .msg; populated by GetMessageRepresentation, sdf.cpp:472-483). These
+# helpers produce/consume that message in the standard ROS wire
+# serialization (fields in declaration order; std_msgs/Header = uint32 seq +
+# uint32 secs + uint32 nsecs + length-prefixed frame_id; arrays and strings
+# are uint32-length-prefixed; bool is one byte) so the full byte format —
+# envelope included — is round-trippable without a ROS installation.
+# ---------------------------------------------------------------------------
+
+
+def frame_ros_message(
+    payload: bytes,
+    frame_id: str,
+    is_compressed: bool = True,
+    stamp: Tuple[int, int] = (0, 0),
+    seq: int = 0,
+) -> bytes:
+    """Wrap a serialized-grid payload in the ROS wire envelope."""
+    fid = frame_id.encode()
+    return b"".join(
+        [
+            struct.pack("<III", seq, stamp[0], stamp[1]),
+            struct.pack("<I", len(fid)),
+            fid,
+            struct.pack("<I", len(payload)),
+            payload,
+            struct.pack("<B", int(is_compressed)),
+        ]
+    )
+
+
+def unframe_ros_message(buf: bytes) -> Tuple[bytes, str, bool]:
+    """(payload, frame_id, is_compressed) from a ROS-wire envelope."""
+    r = _Reader(buf)
+    _seq, _secs, _nsecs = r.pod("III")
+    fid = r.raw(r.pod("I")).decode()
+    payload = r.raw(r.pod("I"))
+    is_compressed = bool(r.pod("B"))
+    if r.pos != len(buf):
+        raise ValueError(f"trailing bytes in message ({len(buf) - r.pos})")
+    return payload, fid, is_compressed
+
+
+def sdf_message(sdf: SdfGrid, stamp: Tuple[int, int] = (0, 0), seq: int = 0) -> bytes:
+    """Full sdf_tools/SDF message bytes (GetMessageRepresentation parity:
+    always-compressed payload, header carrying the grid frame)."""
+    return frame_ros_message(sdf_message_blob(sdf), sdf.meta.frame, True, stamp, seq)
+
+
+def sdf_from_message(buf: bytes) -> SdfGrid:
+    payload, _fid, is_compressed = unframe_ros_message(buf)
+    return sdf_from_message_blob(payload, is_compressed)
+
+
+def collision_map_message(
+    cmap: CollisionMap, n_components: int = 0,
+    stamp: Tuple[int, int] = (0, 0), seq: int = 0,
+) -> bytes:
+    """Full sdf_tools/CollisionMap message bytes (collision_map.cpp:285-299)."""
+    return frame_ros_message(
+        collision_map_message_blob(cmap, n_components), cmap.meta.frame, True, stamp, seq
+    )
+
+
+def collision_map_from_message(buf: bytes) -> CollisionMap:
+    payload, _fid, is_compressed = unframe_ros_message(buf)
+    return collision_map_from_message_blob(payload, is_compressed)
+
+
+def tagged_map_message(
+    tmap: TaggedCollisionMap, stamp: Tuple[int, int] = (0, 0), seq: int = 0
+) -> bytes:
+    """Full sdf_tools/TaggedObjectCollisionMap message bytes
+    (tagged_object_collision_map.cpp:306-320)."""
+    return frame_ros_message(tagged_map_message_blob(tmap), tmap.meta.frame, True, stamp, seq)
+
+
+def tagged_map_from_message(buf: bytes) -> TaggedCollisionMap:
+    payload, _fid, is_compressed = unframe_ros_message(buf)
+    return tagged_map_from_message_blob(payload, is_compressed)

@@ -23,6 +23,7 @@ run the envelope (axis 0 uses the cummax line pass).
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -31,6 +32,20 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 INF_D2 = 1 << 29  # python int: kernels must not capture traced constants
+
+# Generalized (2k+1)-tap schedule (docs/NOTES.md §14a): weights
+# w_t(s) = s^2 + 2|s|k(t-1) are sound AND complete for any tap width k, so T
+# steps resolve every source within distance k*T exactly. Arithmetic work per
+# unit distance is unchanged (2 rolls + mins per tap), but one k-tap step
+# amortizes the while-loop bookkeeping, quiescence reduce and roll latency
+# over k units, and all 2k rolls issue from the SAME input (ILP) instead of
+# forming a serial chain. k=1 is the classic odd-weight 1,3,5,... member.
+_ENVELOPE_K = int(os.environ.get("SDFT_ENVELOPE_K", "4"))
+
+# Single-sided INF pad along the scanned axis: rolls by |s| <= pad wrap
+# through the pad region instead of the opposite line end, so the 2k per-step
+# edge-mask selects collapse to ONE pad-restore select per step.
+_ENVELOPE_PAD = os.environ.get("SDFT_ENVELOPE_PAD", "1") not in ("0", "false")
 
 
 def _out_struct(x, shape, dtype):
@@ -90,32 +105,83 @@ def _roll_shift(d, axis: int, shift: int, n: int, mask):
     return _pvary_like(jnp.where(mask, INF_D2, rolled), d)
 
 
-def _envelope_kernel(axis: int, n: int, d_ref, out_ref):
-    """Relax out_ref[:] (initialized from d_ref) to the exact envelope."""
+def _envelope_kernel(
+    axis: int, n: int, k: int, check_every: int, pad: int, d_ref, out_ref
+):
+    """Relax out_ref[:] (initialized from d_ref) to the exact envelope.
+
+    (2k+1)-tap generalized odd-weight schedule w_t(s) = s^2 + 2|s|k(t-1)
+    (NOTES §14a): sound (telescoping-square bound over any path) and complete
+    (max-speed-first path delivers distance qk+r exactly), so step T resolves
+    every source within distance k*T. Early exit is the same certificate as
+    k=1: values are non-increasing and weights strictly increase in t, so one
+    quiescent step implies all later steps are quiescent. Within a step every
+    tap reads the START-of-step field (in-step chaining would compose two
+    same-t taps and undercut true distances).
+
+    ``pad > 0`` appends `pad` INF cells after the line end: rolls by
+    |s| <= pad then wrap through the pad region instead of the opposite line
+    end, so no per-tap edge masks are needed — only one pad-restore select
+    per step (pads must read INF at every step's input; a relaxed pad value
+    rolled back in would encode a wrap-around path).
+    """
     d0 = d_ref[:]
-    mask_lo, mask_hi = _edge_masks(d0.shape, axis, n)
+    if pad:
+        pshape = list(d0.shape)
+        pshape[axis] = pad
+        d0 = jnp.concatenate(
+            [d0, jnp.full(pshape, INF_D2, d0.dtype)], axis=axis
+        )
+        idx = lax.broadcasted_iota(jnp.int32, d0.shape, axis)
+        pad_mask = idx >= n
+        masks = None
+        nn = n + pad
+    else:
+        idx = lax.broadcasted_iota(jnp.int32, d0.shape, axis)
+        masks = [(idx < s, idx >= n - s) for s in range(1, k + 1)]
+        nn = n
 
     def cond(state):
         t, _, done = state
-        return jnp.logical_and(jnp.logical_not(done), t <= n)
+        # after T = t-1 completed steps the schedule has resolved distance
+        # k*T; stop once that covers the whole line
+        return jnp.logical_and(jnp.logical_not(done), (t - 1) * k <= n)
 
     def body(state):
         t, d, _ = state
 
-        def one(k, dd):
-            c = 2 * (t + k) - 1
-            up = _roll_shift(dd, axis, 1, n, mask_lo)
-            dn = _roll_shift(dd, axis, -1, n, mask_hi)
-            return jnp.minimum(dd, jnp.minimum(up, dn) + c)
+        def one(j, dd):
+            tt = t + j  # 1-based global step index
+            acc = dd
+            for s in range(1, k + 1):
+                c = s * s + 2 * s * k * (tt - 1)
+                if pad:
+                    up = _pvary_like(
+                        pltpu.roll(dd, shift=s % nn, axis=axis), dd
+                    )
+                    dn = _pvary_like(
+                        pltpu.roll(dd, shift=(-s) % nn, axis=axis), dd
+                    )
+                else:
+                    mlo, mhi = masks[s - 1]
+                    up = _roll_shift(dd, axis, s, nn, mlo)
+                    dn = _roll_shift(dd, axis, -s, nn, mhi)
+                acc = jnp.minimum(acc, jnp.minimum(up, dn) + c)
+            if pad:
+                acc = jnp.where(pad_mask, INF_D2, acc)
+            return acc
 
-        new_d = lax.fori_loop(0, _CHECK_EVERY, one, d)
+        new_d = lax.fori_loop(0, check_every, one, d)
         done = jnp.all(new_d == d)
-        return t + _CHECK_EVERY, new_d, done
+        return t + check_every, new_d, done
 
     _, d_final, _ = lax.while_loop(
         cond, body, (jnp.int32(1), d0, jnp.array(False))
     )
-    out_ref[:] = d_final
+    if pad:
+        out_ref[:] = lax.slice_in_dim(d_final, 0, n, axis=axis)
+    else:
+        out_ref[:] = d_final
 
 
 def _line_pass_kernel(n: int, square: bool, mask_ref, out_ref):
@@ -469,9 +535,31 @@ def _lane_tile(Z: int) -> int:
     return 128 if Z % 128 == 0 else Z
 
 
-@functools.partial(jax.jit, static_argnames=("axis", "interpret"))
-def envelope_pass_pallas(f: jax.Array, axis: int, interpret: bool = False) -> jax.Array:
-    """Exact envelope transform along `axis` (1 or 2) of a 3D int32 array."""
+@functools.partial(
+    jax.jit, static_argnames=("axis", "interpret", "k", "pad", "check_every")
+)
+def envelope_pass_pallas(
+    f: jax.Array,
+    axis: int,
+    interpret: bool = False,
+    k: int | None = None,
+    pad: bool | None = None,
+    check_every: int | None = None,
+) -> jax.Array:
+    """Exact envelope transform along `axis` (1 or 2) of a 3D int32 array.
+
+    ``k`` is the tap width of the generalized (2k+1)-tap schedule (module
+    default `_ENVELOPE_K`); ``pad`` selects the INF-pad kernel variant over
+    per-tap edge masks; ``check_every`` is the number of relaxation steps
+    per quiescence reduce (defaults keep the check granularity at ~8 units
+    of DISTANCE independent of k).
+    """
+    if k is None:
+        k = _ENVELOPE_K
+    if pad is None:
+        pad = _ENVELOPE_PAD
+    if check_every is None:
+        check_every = max(1, _CHECK_EVERY // k)
     X, Y, Z = f.shape
     n = f.shape[axis]
     if n == 1:
@@ -480,8 +568,15 @@ def envelope_pass_pallas(f: jax.Array, axis: int, interpret: bool = False) -> ja
         # 2D grids: [X, Y, 1] is memory-identical to [X, 1, Y]; run the
         # lane-dim kernel instead (sublane rolls with a single lane crash
         # the Mosaic compiler)
-        out = envelope_pass_pallas(f.reshape(X, 1, Y), 2, interpret)
+        out = envelope_pass_pallas(f.reshape(X, 1, Y), 2, interpret, k, pad, check_every)
         return out.reshape(X, Y, 1)
+    # pad to the native tiling granularity of the scanned dim (sublane 8 /
+    # lane 128); the pad must cover the widest tap
+    if pad:
+        unit = 8 if axis == 1 else 128
+        pad_n = ((max(k, 1) + unit - 1) // unit) * unit
+    else:
+        pad_n = 0
     if axis == 1:
         # scanned axis on sublanes: block [xt, Y, zt]
         zt = _lane_tile(Z)
@@ -502,7 +597,9 @@ def envelope_pass_pallas(f: jax.Array, axis: int, interpret: bool = False) -> ja
     else:
         raise ValueError("envelope_pass_pallas supports axis 1 or 2")
 
-    kernel = functools.partial(_envelope_kernel, axis, n)
+    kernel = functools.partial(
+        _envelope_kernel, axis, n, k, check_every, pad_n
+    )
     return pl.pallas_call(
         kernel,
         grid=grid,

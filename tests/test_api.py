@@ -187,6 +187,42 @@ class TestSerialization:
         sdf2 = sio.sdf_from_message_blob(blob)
         np.testing.assert_array_equal(np.asarray(sdf.values), np.asarray(sdf2.values))
 
+    def test_framed_ros_messages_roundtrip(self):
+        """Full ROS wire envelope (header + uint8[] + is_compressed,
+        msg/SDF.msg et al., sdf.cpp:472-502) for all three grid types."""
+        import struct
+
+        cmap, n = cmo.update_connected_components(_demo_cmap())
+        sdf, _ = cmo.extract_sdf(cmap)
+        tmap, _ = cmo.update_convex_segments(_demo_tmap(), 0.3)
+
+        msg = sio.sdf_message(sdf, stamp=(12, 34), seq=5)
+        # envelope golden bytes: seq, secs, nsecs, len(frame_id)
+        seq, secs, nsecs, fl = struct.unpack_from("<IIII", msg, 0)
+        assert (seq, secs, nsecs) == (5, 12, 34)
+        assert msg[16 : 16 + fl].decode() == sdf.meta.frame
+        assert msg[-1] == 1  # is_compressed
+        payload, fid, comp = sio.unframe_ros_message(msg)
+        assert fid == sdf.meta.frame and comp
+        sdf2 = sio.sdf_from_message(msg)
+        np.testing.assert_array_equal(np.asarray(sdf.values), np.asarray(sdf2.values))
+
+        cm2 = sio.collision_map_from_message(
+            sio.collision_map_message(cmap, n_components=int(n))
+        )
+        np.testing.assert_array_equal(
+            np.asarray(cmap.occupancy), np.asarray(cm2.occupancy)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(cmap.component), np.asarray(cm2.component)
+        )
+
+        tm2 = sio.tagged_map_from_message(sio.tagged_map_message(tmap))
+        for field in ("occupancy", "object_id", "component", "convex_segment"):
+            np.testing.assert_array_equal(
+                np.asarray(getattr(tmap, field)), np.asarray(getattr(tm2, field))
+            )
+
     def test_collision_map_roundtrip(self, tmp_path):
         cmap, n = cmo.update_connected_components(_demo_cmap())
         p = os.path.join(tmp_path, "m.cmg")

@@ -217,6 +217,32 @@ def test_slabbed_rejects_non_divisible_slab_count():
         edt.signed_field_slabbed(mask, 0.05, n_slabs=3, backend="stencil")
 
 
+@pytest.mark.parametrize("k", [1, 2, 3, 4, 8])
+@pytest.mark.parametrize("pad", [False, True])
+def test_pallas_ktap_envelope_exact(k, pad):
+    """Generalized (2k+1)-tap schedule w_t(s)=s^2+2|s|k(t-1) (NOTES §14a)
+    vs brute force, both kernel layouts (sublane/lane scanned axis), both
+    edge handlings (per-tap masks / single-sided INF pad), incl. shapes not
+    multiples of the tile units and lines shorter than the tap width."""
+    from sdf_tools_tpu.ops import edt_pallas
+
+    rng = np.random.default_rng(1000 * k + pad)
+    for shape in [(8, 32, 128), (4, 24, 256), (3, 40, 128), (8, 5, 128), (8, 16, 1)]:
+        f = rng.integers(0, 900, shape).astype(np.int32)
+        f[rng.random(shape) < 0.6] = int(edt.INF_D2)
+        fj = jnp.asarray(f)
+        for axis in (1, 2):
+            if shape[axis] == 1:
+                continue
+            truth = np.asarray(edt.envelope_pass_brute(fj, axis))
+            got = np.asarray(
+                edt_pallas.envelope_pass_pallas(
+                    fj, axis, interpret=True, k=k, pad=pad
+                )
+            )
+            np.testing.assert_array_equal(got, truth)
+
+
 @pytest.mark.parametrize(
     "shape", [(100, 90, 60), (33, 130, 7), (256, 100, 1), (65, 64, 129)]
 )
