@@ -36,12 +36,44 @@ def timed(f, *args, reps=3):
 
 
 ref_sums = {}
-variants = []
-for k in (1, 2, 4, 8):
-    for pad in (False, True):
-        variants.append((k, pad, max(1, 8 // k)))
-# extra check-granularity points for the presumptive winners
-variants += [(4, True, 4), (8, True, 2), (2, True, 8)]
+if len(sys.argv) > 2 and sys.argv[2] == "ab":
+    # head-to-head IN ONE PROCESS: serial vs tree candidate reduction at the
+    # winning tap widths (cross-process variance ~7% — BENCH_r04 vs ROUND4)
+    variants = [(k, tr) for k in (8, 12, 16) for tr in (False, True)]
+    for k, tr in variants:
+        total = 0.0
+        line = f"k={k:2d} tree={int(tr)}:"
+        ok = True
+        for fname, f0 in fields:
+            def run(g, k=k, tr=tr):
+                g1 = edt_pallas.envelope_pass_pallas(g, 1, k=k, check_every=1, tree=tr)
+                g2 = edt_pallas.envelope_pass_pallas(g1, 2, k=k, check_every=1, tree=tr)
+                return jnp.sum(g2.astype(jnp.float32)) + 1e-3 * jnp.sum(
+                    (g2 & 0xFF).astype(jnp.float32))
+            f = jax.jit(run)
+            s = float(f(f0))
+            if fname not in ref_sums:
+                ref_sums[fname] = s
+            elif ref_sums[fname] != s:
+                ok = False
+            t = timed(f, f0, reps=5)
+            total += t
+            line += f"  {fname} {t*1e3:7.1f} ms"
+        line += f"  TOTAL {total*1e3:7.1f} ms" + ("" if ok else "  !!! CHECKSUM MISMATCH")
+        print(line, flush=True)
+    sys.exit(0)
+if len(sys.argv) > 2 and sys.argv[2] == "ext":
+    # round 2 of the sweep: push tap width until it saturates (mask variant
+    # won round 1; ce=1 won for k>=4)
+    variants = [(8, False, 1), (12, False, 1), (16, False, 1),
+                (24, False, 1), (32, False, 1)]
+else:
+    variants = []
+    for k in (1, 2, 4, 8):
+        for pad in (False, True):
+            variants.append((k, pad, max(1, 8 // k)))
+    # extra check-granularity points for the presumptive winners
+    variants += [(4, True, 4), (8, True, 2), (2, True, 8)]
 
 for k, pad, ce in variants:
     total = 0.0

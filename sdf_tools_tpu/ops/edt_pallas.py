@@ -106,7 +106,8 @@ def _roll_shift(d, axis: int, shift: int, n: int, mask):
 
 
 def _envelope_kernel(
-    axis: int, n: int, k: int, check_every: int, pad: int, d_ref, out_ref
+    axis: int, n: int, k: int, check_every: int, pad: int, tree: bool,
+    d_ref, out_ref,
 ):
     """Relax out_ref[:] (initialized from d_ref) to the exact envelope.
 
@@ -126,6 +127,7 @@ def _envelope_kernel(
     rolled back in would encode a wrap-around path).
     """
     d0 = d_ref[:]
+    idx = lax.broadcasted_iota(jnp.int32, d0.shape, axis)
     if pad:
         pshape = list(d0.shape)
         pshape[axis] = pad
@@ -134,11 +136,8 @@ def _envelope_kernel(
         )
         idx = lax.broadcasted_iota(jnp.int32, d0.shape, axis)
         pad_mask = idx >= n
-        masks = None
         nn = n + pad
     else:
-        idx = lax.broadcasted_iota(jnp.int32, d0.shape, axis)
-        masks = [(idx < s, idx >= n - s) for s in range(1, k + 1)]
         nn = n
 
     def cond(state):
@@ -152,7 +151,11 @@ def _envelope_kernel(
 
         def one(j, dd):
             tt = t + j  # 1-based global step index
-            acc = dd
+            # all 2k rolls read the START-of-step field (in-step chaining
+            # would compose two same-t taps and undercut true distances),
+            # so the candidates are independent: reduce them as a MIN TREE
+            # (depth log2 k) instead of a serial k-long acc chain
+            cands = []
             for s in range(1, k + 1):
                 c = s * s + 2 * s * k * (tt - 1)
                 if pad:
@@ -163,10 +166,24 @@ def _envelope_kernel(
                         pltpu.roll(dd, shift=(-s) % nn, axis=axis), dd
                     )
                 else:
-                    mlo, mhi = masks[s - 1]
-                    up = _roll_shift(dd, axis, s, nn, mlo)
-                    dn = _roll_shift(dd, axis, -s, nn, mhi)
-                acc = jnp.minimum(acc, jnp.minimum(up, dn) + c)
+                    up = _roll_shift(dd, axis, s, nn, idx < s)
+                    dn = _roll_shift(dd, axis, -s, nn, idx >= n - s)
+                cands.append(jnp.minimum(up, dn) + c)
+            cands.append(dd)
+            if tree:
+                while len(cands) > 1:
+                    nxt = [
+                        jnp.minimum(cands[i], cands[i + 1])
+                        for i in range(0, len(cands) - 1, 2)
+                    ]
+                    if len(cands) % 2:
+                        nxt.append(cands[-1])
+                    cands = nxt
+                acc = cands[0]
+            else:
+                acc = cands[-1]
+                for cnd in cands[:-1]:
+                    acc = jnp.minimum(acc, cnd)
             if pad:
                 acc = jnp.where(pad_mask, INF_D2, acc)
             return acc
@@ -536,7 +553,8 @@ def _lane_tile(Z: int) -> int:
 
 
 @functools.partial(
-    jax.jit, static_argnames=("axis", "interpret", "k", "pad", "check_every")
+    jax.jit,
+    static_argnames=("axis", "interpret", "k", "pad", "check_every", "tree"),
 )
 def envelope_pass_pallas(
     f: jax.Array,
@@ -545,6 +563,7 @@ def envelope_pass_pallas(
     k: int | None = None,
     pad: bool | None = None,
     check_every: int | None = None,
+    tree: bool = False,
 ) -> jax.Array:
     """Exact envelope transform along `axis` (1 or 2) of a 3D int32 array.
 
@@ -568,7 +587,9 @@ def envelope_pass_pallas(
         # 2D grids: [X, Y, 1] is memory-identical to [X, 1, Y]; run the
         # lane-dim kernel instead (sublane rolls with a single lane crash
         # the Mosaic compiler)
-        out = envelope_pass_pallas(f.reshape(X, 1, Y), 2, interpret, k, pad, check_every)
+        out = envelope_pass_pallas(
+            f.reshape(X, 1, Y), 2, interpret, k, pad, check_every, tree
+        )
         return out.reshape(X, Y, 1)
     # pad to the native tiling granularity of the scanned dim (sublane 8 /
     # lane 128); the pad must cover the widest tap
@@ -598,7 +619,7 @@ def envelope_pass_pallas(
         raise ValueError("envelope_pass_pallas supports axis 1 or 2")
 
     kernel = functools.partial(
-        _envelope_kernel, axis, n, k, check_every, pad_n
+        _envelope_kernel, axis, n, k, check_every, pad_n, tree
     )
     return pl.pallas_call(
         kernel,

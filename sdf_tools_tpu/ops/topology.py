@@ -302,7 +302,6 @@ def component_holes_and_voids(labels: Array, component) -> Tuple[Array, Array]:
     return raw_holes + n_voids, n_voids
 
 
-@partial(jax.jit, static_argnums=(1,))
 def component_topology_census(labels: Array, n_components: int) -> Array:
     """One-pass (holes, voids) census for ALL components — [n, 2] int32.
 
@@ -315,7 +314,24 @@ def component_topology_census(labels: Array, n_components: int) -> Array:
     over (vertex, cube-slot) nodes counts each component's disjoint surface
     sets (voids). Equal output to :func:`component_holes_and_voids` looped
     over 1..n (tests/test_topology.py::test_census_matches_per_component).
+
+    ``n_components`` only sizes the output histograms, so the jitted body
+    uses a power-of-two PADDED bound as its static shape and threads the true
+    count in as data: scene loops with varying component counts compile
+    O(log n) kernels total, not one per distinct count.
     """
+    n = int(n_components)
+    if n <= 0:
+        return jnp.zeros((0, 2), jnp.int32)
+    n_bound = 8
+    while n_bound < n:
+        n_bound *= 2
+    return _census_padded(labels, jnp.int32(n), n_bound)[:n]
+
+
+@partial(jax.jit, static_argnums=(2,))
+def _census_padded(labels: Array, n_dyn: Array, n_bound: int) -> Array:
+    """Census body at a static padded bound; rows past n_dyn are zeros."""
     cubes = _vertex_cube_labels(labels)  # [vx, vy, vz, 8], -1 = out of grid
     vshape = cubes.shape[:-1]
     Nv = int(np.prod(vshape))
@@ -353,18 +369,18 @@ def component_topology_census(labels: Array, n_components: int) -> Array:
             count[k] = count[k] + mixed_e.astype(jnp.int32)
         exposure.append(exp_k)
 
-    n = int(n_components)
+    n = n_dyn  # traced true component count; n_bound is the static shape
     valid = [
         first[k] & (slot[k] >= 1) & (slot[k] <= n) & mixed_cube[k] for k in range(8)
     ]
     comp_of = [jnp.clip(slot[k], 0, n) for k in range(8)]
 
     def hist(pred):
-        h = jnp.zeros(n + 1, jnp.int32)
+        h = jnp.zeros(n_bound + 1, jnp.int32)
         for k in range(8):
             w = (valid[k] & pred[k]).astype(jnp.int32)
             h = h + jnp.bincount(
-                comp_of[k].reshape(-1), weights=w.reshape(-1), length=n + 1
+                comp_of[k].reshape(-1), weights=w.reshape(-1), length=n_bound + 1
             ).astype(jnp.int32)
         return h[1:]
 
@@ -428,17 +444,20 @@ def component_topology_census(labels: Array, n_components: int) -> Array:
 
     # roots: active node whose label equals its own id -> one per surface set
     # (count only at the canonical slot so each node is counted once)
-    n_surf = jnp.zeros(n + 1, jnp.int32)
+    n_surf = jnp.zeros(n_bound + 1, jnp.int32)
     for k in range(8):
         is_root = valid[k] & (labs[k] == flatv + canon_node[k])
         n_surf = n_surf + jnp.bincount(
             comp_of[k].reshape(-1),
             weights=is_root.astype(jnp.int32).reshape(-1),
-            length=n + 1,
+            length=n_bound + 1,
         ).astype(jnp.int32)
     n_voids = jnp.maximum(n_surf[1:] - 1, 0)
     holes = 1 + (M5 + 2 * M6 - M3) // 8 + n_voids
-    return jnp.stack([holes, n_voids], axis=-1)
+    out = jnp.stack([holes, n_voids], axis=-1)
+    # zero the padding rows (they would otherwise read holes=1)
+    real = (jnp.arange(n_bound, dtype=jnp.int32) < n)[:, None]
+    return jnp.where(real, out, 0)
 
 
 def compute_component_topology(labels: Array, n_components: int) -> np.ndarray:

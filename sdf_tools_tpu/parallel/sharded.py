@@ -419,3 +419,92 @@ def sharded_render_depth(
     hit = lax.psum(result.hit.astype(jnp.int32), axis_name) > 0
     depth = jnp.where(hit, depth, jnp.full_like(depth, t_max))
     return depth, hit
+
+
+def sharded_render_depth_2d(
+    values_local: Array,
+    full_meta,
+    oob_value,
+    origins: Array,
+    directions: Array,
+    axis_x: str = "x",
+    axis_y: str = "y",
+    halo: int = 2,
+    t_min: float = 0.0,
+    t_max: float = 10.0,
+    eps: float = 1e-3,
+    max_steps: int = 96,
+    min_step=None,
+    backend: str = "auto",
+):
+    """Render depth over a volume sharded as 2-D (x, y) TILES; call inside
+    shard_map with the values in P(axis_x, axis_y) layout.
+
+    The slab renderer generalized to tiles: a halo exchange along x first,
+    then along y ON THE X-EXTENDED tile (so the y neighbors contribute their
+    own x halos and the tile corners are exact for trilinear queries), each
+    device traces all rays inside its tile AABB, and the min-composite runs
+    over BOTH mesh axes. Communication is O(rays + halo surface) — the tiled
+    volume is never gathered.
+    """
+    from ..grid import GridMeta, SdfGrid
+    from ..ops import render as render_ops
+
+    nx_local, ny_local = values_local.shape[0], values_local.shape[1]
+    res = full_meta.resolution
+    n_x, n_y = lax.axis_size(axis_x), lax.axis_size(axis_y)
+    ix, iy = lax.axis_index(axis_x), lax.axis_index(axis_y)
+
+    ext = exchange_slab_halo(values_local, axis_x, halo)
+    ext = jnp.moveaxis(
+        exchange_slab_halo(jnp.moveaxis(ext, 1, 0), axis_y, halo), 0, 1
+    )
+
+    # outer-halo fill on the volume boundary faces (same rationale as the
+    # 1-D slab renderer above: the ring exchange wraps the far side in)
+    xi = lax.broadcasted_iota(jnp.int32, ext.shape, 0)
+    yi = lax.broadcasted_iota(jnp.int32, ext.shape, 1)
+    outer = (
+        ((ix == 0) & (xi < halo))
+        | ((ix == n_x - 1) & (xi >= halo + nx_local))
+        | ((iy == 0) & (yi < halo))
+        | ((iy == n_y - 1) & (yi >= halo + ny_local))
+    )
+    ext = jnp.where(outer, jnp.asarray(2.0 * res, ext.dtype), ext)
+
+    x_off = (ix * nx_local - halo).astype(jnp.float32) * res
+    y_off = (iy * ny_local - halo).astype(jnp.float32) * res
+    T = (
+        jnp.eye(4, dtype=full_meta.origin_transform.dtype)
+        .at[0, 3].set(x_off)
+        .at[1, 3].set(y_off)
+    )
+    tile_meta = GridMeta.create(
+        full_meta.origin_transform @ T, res, ext.shape, full_meta.frame
+    )
+    tile_sdf = SdfGrid.create(ext, tile_meta, oob_value)
+
+    result = render_ops.render_depth(
+        tile_sdf,
+        origins,
+        directions,
+        t_min=t_min,
+        t_max=t_max,
+        eps=eps,
+        max_steps=max_steps,
+        min_step=min_step,
+        backend=backend,
+    )
+    depth_local = jnp.where(
+        result.hit, result.depth, jnp.full_like(result.depth, t_max)
+    )
+
+    axes = (axis_x, axis_y)
+    depth_min = lax.pmin(lax.stop_gradient(depth_local), axes)
+    win = lax.stop_gradient(depth_local) <= depth_min
+    n_win = lax.psum(win.astype(depth_local.dtype), axes)
+    weight = win.astype(depth_local.dtype) / jnp.maximum(n_win, 1.0)
+    depth = lax.psum(weight * depth_local, axes)
+    hit = lax.psum(result.hit.astype(jnp.int32), axes) > 0
+    depth = jnp.where(hit, depth, jnp.full_like(depth, t_max))
+    return depth, hit

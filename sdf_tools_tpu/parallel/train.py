@@ -139,3 +139,80 @@ def make_train_step(mesh: Mesh, cfg: PipelineConfig):
         check_vma=False,
     )
     return jax.jit(step)
+
+
+def _forward_local_2d(points: Array, cfg: PipelineConfig, axis_x: str, axis_y: str):
+    """Tile-local forward on a 2-D (x, y) volume mesh: voxelize this tile,
+    EDT via ``sharded_squared_edt_2d`` (boundary-summary x pass + one
+    all_to_all y/z reshard pair), then the 2-D tile renderer."""
+    n = cfg.grid_n
+    res = cfg.resolution
+    ix, iy = lax.axis_index(axis_x), lax.axis_index(axis_y)
+    nx_local = n // lax.axis_size(axis_x)
+    ny_local = n // lax.axis_size(axis_y)
+
+    x_off = (ix * nx_local).astype(jnp.float32) * res
+    y_off = (iy * ny_local).astype(jnp.float32) * res
+    tile_origin = (
+        make_origin_transform([0.0, 0.0, 0.0])
+        .at[0, 3].add(x_off)
+        .at[1, 3].add(y_off)
+    )
+    tile_meta = GridMeta.create(tile_origin, res, (nx_local, ny_local, n))
+
+    occ_tile = voxelize.soft_voxelize_points(points, tile_meta, temperature=0.5)
+
+    sdf_fwd = diff.straight_through_sdf(
+        lambda occ: sharded.sharded_signed_field_2d(
+            occ > 0.5, res, axis_x, axis_y, backend=cfg.edt_backend
+        ),
+        res,
+    )
+    sdf_tile = sdf_fwd(occ_tile)
+
+    depth, hit = sharded.sharded_render_depth_2d(
+        sdf_tile,
+        _full_meta(cfg),
+        cfg.oob_value,
+        *_camera(cfg),
+        axis_x=axis_x,
+        axis_y=axis_y,
+        halo=min(2, nx_local, ny_local),
+        t_max=cfg.t_max,
+    )
+    return depth  # [H, W], replicated across (x, y)
+
+
+def make_train_step_2d(mesh: Mesh, cfg: PipelineConfig):
+    """Jitted train step on a (dp, x, y) mesh: the volume is sharded as 2-D
+    tiles (the layout a >= 2-host 1024^3 deployment would use), composing
+    ``sharded_squared_edt_2d`` with the 2-D tile renderer.
+
+    step(points [B, N, 3], target_depth [B, H, W]) -> (new_points, loss)
+    with B sharded over ``dp`` and the volume over (``x``, ``y``).
+    """
+
+    def local_step(points_local: Array, target_local: Array):
+        def loss_fn(pts):
+            def scene_loss(p, tgt):
+                depth = _forward_local_2d(p, cfg, "x", "y")
+                return jnp.sum((depth - tgt) ** 2)
+
+            per_scene = jax.vmap(scene_loss)(pts, target_local)
+            return jnp.sum(per_scene)
+
+        loss, grads = jax.value_and_grad(loss_fn)(points_local)
+        # points are replicated over the volume tiles: reduce partial grads
+        grads = lax.psum(grads, ("x", "y"))
+        new_points = points_local - cfg.lr * grads
+        global_loss = lax.pmean(loss, "dp") / (cfg.image_h * cfg.image_w)
+        return new_points, global_loss
+
+    step = jax.shard_map(
+        local_step,
+        mesh=mesh,
+        in_specs=(P("dp"), P("dp")),
+        out_specs=(P("dp"), P()),
+        check_vma=False,
+    )
+    return jax.jit(step)

@@ -387,6 +387,64 @@ def test_train_step_hlo_has_no_volume_sized_collectives():
     )
 
 
+def test_sharded_render_2d_tiles_matches_single_device():
+    """(x, y) TILE-sharded renderer (sharded_render_depth_2d) vs the
+    unsharded march: halos in both axes (incl. tile corners via the
+    exchange-on-extended ordering) and the min-composite over both axes."""
+    from sdf_tools_tpu.grid import GridMeta, make_origin_transform
+    from sdf_tools_tpu.ops import edt as edt_ops
+    from sdf_tools_tpu.ops import render
+
+    nx, ny, nz, res = 32, 32, 16, 0.1
+    # solid geometry only: isolated 1-voxel speckles make hit/miss depend on
+    # the marcher's step pattern (the single-device march disagrees with the
+    # 1-D slab renderer on them too), which is not what this test measures.
+    # The box spans the y-tile boundary (y=16); the sphere sits in one tile.
+    mask = np.zeros((nx, ny, nz), bool)
+    mask[10:22, 12:24, 4:12] = True
+    ii = np.arange(nx)
+    sph = (
+        (ii[:, None, None] - 24.0) ** 2
+        + (ii[None, :32, None][:, :ny] - 6.0) ** 2
+        + (ii[None, None, :nz] - 10.0) ** 2
+    ) <= 9.0
+    mask |= sph
+    meta = GridMeta.create(make_origin_transform([0.0, 0.0, 0.0]), res, (nx, ny, nz))
+    sdf, _ = edt_ops.extract_signed_distance_field(
+        jnp.asarray(mask), meta, oob_value=1e3, backend="stencil"
+    )
+    center = np.array([0.5 * nx, 0.5 * ny, 0.5 * nz]) * res
+    cam = center - np.array([1.5 * nx * res, 0.8, 0.3])
+    origins, dirs = render.camera_rays(
+        jnp.asarray(cam, jnp.float32), jnp.asarray(center, jnp.float32),
+        jnp.asarray([0.0, 0.0, 1.0]), 35.0, 12, 16,
+    )
+    t_max = 4.0 * nx * res
+    single = render.render_depth(
+        sdf, origins, dirs, t_max=t_max, max_steps=96, backend="march"
+    )
+    mesh = sharded.make_mesh({"x": 4, "y": 2})
+    f = shard_map(
+        lambda v: sharded.sharded_render_depth_2d(
+            v, meta, 1e3, origins, dirs, "x", "y", halo=2, t_max=t_max,
+            max_steps=96, backend="march",
+        ),
+        mesh=mesh,
+        in_specs=P("x", "y"),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )
+    depth, hit = jax.jit(f)(sdf.values)
+    h1 = np.asarray(single.hit)
+    h2 = np.asarray(hit)
+    assert h1.any(), "test scene must produce hits"
+    assert (h1 != h2).sum() <= max(1, int(0.01 * h1.size))
+    both = h1 & h2
+    np.testing.assert_allclose(
+        np.asarray(depth)[both], np.asarray(single.depth)[both], atol=res
+    )
+
+
 def test_sharded_render_2d_mesh_rays_x_slabs():
     """2-D mesh (dp x-slabs): rays sharded over 'dp', the volume over 'x'.
 

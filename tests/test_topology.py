@@ -214,6 +214,30 @@ def test_census_matches_per_component():
             )
 
 
+def test_census_no_recompile_across_component_counts():
+    """Scene loops with varying n_components must reuse ONE compiled census
+    (the count is data; only the power-of-two padded bound is static)."""
+    mask = np.zeros((20, 9, 8), bool)
+    for i in range(5):  # five separated boxes -> exactly 5 components
+        mask[4 * i : 4 * i + 2, 2:5, 2:5] = True
+    comp, n = topology.connected_components_by_key(
+        jnp.asarray(mask), jnp.asarray(mask, jnp.int32)
+    )
+    n = int(n)
+    assert n == 5
+    # counts 1..5 all share the padded bound of 8 -> at most ONE compile
+    before = topology._census_padded._cache_size()
+    outs = {m: np.asarray(topology.component_topology_census(comp, m))
+            for m in range(1, n + 1)}
+    added = topology._census_padded._cache_size() - before
+    assert added <= 1, f"census recompiled {added} times for counts 1..{n}"
+    full = outs[n]
+    for m in range(1, n + 1):
+        assert outs[m].shape == (m, 2)
+        np.testing.assert_array_equal(outs[m], full[:m])
+    assert topology.component_topology_census(comp, 0).shape == (0, 2)
+
+
 def test_census_torus_and_hollow_cube_joint():
     """Torus and hollow cube as components of ONE grid, censused jointly."""
     lab = np.zeros((24, 10, 10), np.int32)
