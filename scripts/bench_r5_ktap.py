@@ -37,17 +37,17 @@ def timed(f, *args, reps=3):
 
 ref_sums = {}
 if len(sys.argv) > 2 and sys.argv[2] == "ab":
-    # head-to-head IN ONE PROCESS: serial vs tree candidate reduction at the
-    # winning tap widths (cross-process variance ~7% — BENCH_r04 vs ROUND4)
-    variants = [(k, tr) for k in (8, 12, 16) for tr in (False, True)]
-    for k, tr in variants:
+    # head-to-head IN ONE PROCESS: hoisted vs in-body edge masks (serial
+    # reduction; tree lost the previous A/B) at the winning tap widths
+    variants = [(k, hz) for k in (12, 16) for hz in (True, False)]
+    for k, hz in variants:
         total = 0.0
-        line = f"k={k:2d} tree={int(tr)}:"
+        line = f"k={k:2d} hoist={int(hz)}:"
         ok = True
         for fname, f0 in fields:
-            def run(g, k=k, tr=tr):
-                g1 = edt_pallas.envelope_pass_pallas(g, 1, k=k, check_every=1, tree=tr)
-                g2 = edt_pallas.envelope_pass_pallas(g1, 2, k=k, check_every=1, tree=tr)
+            def run(g, k=k, hz=hz):
+                g1 = edt_pallas.envelope_pass_pallas(g, 1, k=k, check_every=1, hoist=hz)
+                g2 = edt_pallas.envelope_pass_pallas(g1, 2, k=k, check_every=1, hoist=hz)
                 return jnp.sum(g2.astype(jnp.float32)) + 1e-3 * jnp.sum(
                     (g2 & 0xFF).astype(jnp.float32))
             f = jax.jit(run)

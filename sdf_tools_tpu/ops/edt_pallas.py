@@ -107,7 +107,7 @@ def _roll_shift(d, axis: int, shift: int, n: int, mask):
 
 def _envelope_kernel(
     axis: int, n: int, k: int, check_every: int, pad: int, tree: bool,
-    d_ref, out_ref,
+    hoist: bool, d_ref, out_ref,
 ):
     """Relax out_ref[:] (initialized from d_ref) to the exact envelope.
 
@@ -139,6 +139,13 @@ def _envelope_kernel(
         nn = n + pad
     else:
         nn = n
+    # edge masks hoisted out of the relaxation loop (2k loop-constant arrays
+    # in VMEM) vs recomputed per step from the iota (2k compares per step)
+    masks = (
+        [(idx < s, idx >= n - s) for s in range(1, k + 1)]
+        if (hoist and not pad)
+        else None
+    )
 
     def cond(state):
         t, _, done = state
@@ -166,8 +173,9 @@ def _envelope_kernel(
                         pltpu.roll(dd, shift=(-s) % nn, axis=axis), dd
                     )
                 else:
-                    up = _roll_shift(dd, axis, s, nn, idx < s)
-                    dn = _roll_shift(dd, axis, -s, nn, idx >= n - s)
+                    mlo, mhi = masks[s - 1] if masks else (idx < s, idx >= n - s)
+                    up = _roll_shift(dd, axis, s, nn, mlo)
+                    dn = _roll_shift(dd, axis, -s, nn, mhi)
                 cands.append(jnp.minimum(up, dn) + c)
             cands.append(dd)
             if tree:
@@ -554,7 +562,9 @@ def _lane_tile(Z: int) -> int:
 
 @functools.partial(
     jax.jit,
-    static_argnames=("axis", "interpret", "k", "pad", "check_every", "tree"),
+    static_argnames=(
+        "axis", "interpret", "k", "pad", "check_every", "tree", "hoist"
+    ),
 )
 def envelope_pass_pallas(
     f: jax.Array,
@@ -564,6 +574,7 @@ def envelope_pass_pallas(
     pad: bool | None = None,
     check_every: int | None = None,
     tree: bool = False,
+    hoist: bool = True,
 ) -> jax.Array:
     """Exact envelope transform along `axis` (1 or 2) of a 3D int32 array.
 
@@ -588,7 +599,7 @@ def envelope_pass_pallas(
         # lane-dim kernel instead (sublane rolls with a single lane crash
         # the Mosaic compiler)
         out = envelope_pass_pallas(
-            f.reshape(X, 1, Y), 2, interpret, k, pad, check_every, tree
+            f.reshape(X, 1, Y), 2, interpret, k, pad, check_every, tree, hoist
         )
         return out.reshape(X, Y, 1)
     # pad to the native tiling granularity of the scanned dim (sublane 8 /
@@ -619,7 +630,7 @@ def envelope_pass_pallas(
         raise ValueError("envelope_pass_pallas supports axis 1 or 2")
 
     kernel = functools.partial(
-        _envelope_kernel, axis, n, k, check_every, pad_n, tree
+        _envelope_kernel, axis, n, k, check_every, pad_n, tree, hoist
     )
     return pl.pallas_call(
         kernel,

@@ -71,6 +71,105 @@ def soft_voxelize_points(points: Array, meta: GridMeta, temperature: float = 1.0
     return 1.0 - jnp.exp(-occ / temperature)
 
 
+@jax.jit
+def _mesh_parity_batch(v0, v1, v2, cx, cy, nz: Array, res, counts):
+    """Accumulate per-column crossing-bucket parity counts for one triangle
+    batch. v0/v1/v2: [B, 3] triangle vertices in GRID frame; cx/cy: [nx],
+    [ny] cell-center xy in grid frame; counts: [nx, ny, nz] int32 running
+    count of crossings ABOVE each cell center."""
+    px = cx[None, :, None]  # [1, nx, 1]
+    py = cy[None, None, :]  # [1, 1, ny]
+
+    def edge(ax, ay, bx, by):
+        # 2D edge function of (p - a) x (b - a); sign = side of edge
+        return (bx - ax) * (py - ay) - (by - ay) * (px - ax)
+
+    e0 = edge(v0[:, 0, None, None], v0[:, 1, None, None],
+              v1[:, 0, None, None], v1[:, 1, None, None])
+    e1 = edge(v1[:, 0, None, None], v1[:, 1, None, None],
+              v2[:, 0, None, None], v2[:, 1, None, None])
+    e2 = edge(v2[:, 0, None, None], v2[:, 1, None, None],
+              v0[:, 0, None, None], v0[:, 1, None, None])
+    denom = (
+        (v1[:, 0] - v0[:, 0]) * (v2[:, 1] - v0[:, 1])
+        - (v1[:, 1] - v0[:, 1]) * (v2[:, 0] - v0[:, 0])
+    )[:, None, None]  # 2x signed projected area
+    pos = (e0 > 0) & (e1 > 0) & (e2 > 0)
+    neg = (e0 < 0) & (e1 < 0) & (e2 < 0)
+    inside = (pos | neg) & (jnp.abs(denom) > 1e-12)  # vertical tris skipped
+    safe = jnp.where(jnp.abs(denom) > 1e-12, denom, 1.0)
+    # barycentric z of the vertical-ray crossing (w_i opposite vertex i)
+    w0 = e1 / safe
+    w1 = e2 / safe
+    w2 = e0 / safe
+    zc = (
+        w0 * v0[:, 2, None, None]
+        + w1 * v1[:, 2, None, None]
+        + w2 * v2[:, 2, None, None]
+    )
+    # number of cell centers (z = (iz + 0.5) res) strictly below the crossing
+    k = jnp.clip(jnp.ceil(zc / res - 0.5), 0, nz).astype(jnp.int32)
+    k = jnp.where(inside, k, -1)  # dropped by the scatter
+    nx_, ny_ = k.shape[1], k.shape[2]
+    colbase = (jnp.arange(nx_)[:, None] * ny_ + jnp.arange(ny_)[None, :]) * (
+        counts.shape[-1] + 1
+    )
+    flat = jnp.where(k >= 0, colbase[None] + k, -1).reshape(-1)
+    hist = jnp.zeros(nx_ * ny_ * (counts.shape[-1] + 1), jnp.int32)
+    hist = hist.at[flat].add(1, mode="drop")
+    hist = hist.reshape(nx_, ny_, counts.shape[-1] + 1)
+    # crossings above center iz = those with k > iz: reverse cumsum of
+    # hist[..., iz+1:]
+    above = jnp.cumsum(hist[..., ::-1], axis=-1)[..., ::-1]
+    return counts + above[..., 1:]
+
+
+def mesh_to_occupancy(
+    vertices, faces, meta: GridMeta, batch: int = 256
+) -> Array:
+    """Solid-voxelize a watertight triangle mesh: occupancy [nx, ny, nz] f32.
+
+    TPU-native replacement for the last ingestion path of the reference's
+    ``SDF_Builder`` (arbitrary MoveIt collision meshes voxelized by per-voxel
+    ``checkCollision``, ``sdf_builder.cpp:339-358``): point-in-mesh by RAY
+    PARITY, fully vectorized — for every (x, y) column of cell centers, each
+    triangle's vertical-ray crossing is rasterized with 2D edge functions
+    and bucketed per z cell; a cell is filled iff the number of crossings
+    above its center is odd. Work is O(T * nx * ny) elementwise + one flat
+    scatter-add per triangle batch (no per-voxel collision queries).
+
+    Cell centers are offset by an irrational epsilon (~1e-4 res) in x/y so
+    exact edge/vertex ray hits — where parity is ambiguous — have measure
+    zero for real meshes.
+    """
+    verts = jnp.asarray(vertices, jnp.float32)
+    tris = jnp.asarray(faces, jnp.int32)
+    if verts.ndim != 2 or verts.shape[-1] != 3:
+        raise ValueError(f"vertices must be [V, 3], got {verts.shape}")
+    if tris.ndim != 2 or tris.shape[-1] != 3:
+        raise ValueError(f"faces must be [T, 3], got {tris.shape}")
+    nx, ny, nz = meta.shape
+    res = float(meta.resolution)
+    # grid-frame geometry: the parity ray runs along the grid z axis
+    vg = meta.world_to_grid(verts)
+    cx = (jnp.arange(nx, dtype=jnp.float32) + 0.5) * res + 1.23456789e-4 * res
+    cy = (jnp.arange(ny, dtype=jnp.float32) + 0.5) * res + 2.34567891e-4 * res
+
+    T = tris.shape[0]
+    pad = (-T) % batch
+    if pad:
+        tris = jnp.concatenate([tris, jnp.zeros((pad, 3), jnp.int32)], axis=0)
+    counts = jnp.zeros((nx, ny, nz), jnp.int32)
+    for i in range(0, T + pad, batch):
+        f = tris[i : i + batch]
+        v0, v1, v2 = vg[f[:, 0]], vg[f[:, 1]], vg[f[:, 2]]
+        # padded faces are (0,0,0) -> degenerate -> denom 0 -> skipped
+        counts = _mesh_parity_batch(
+            v0, v1, v2, cx, cy, jnp.int32(nz), jnp.float32(res), counts
+        )
+    return (counts % 2 == 1).astype(jnp.float32)
+
+
 def image_to_occupancy(image: Array, threshold: float = 0.5) -> Array:
     """Binary image [h, w] (row=y, col=x) -> occupancy [nx=w, ny=h, nz=1].
 

@@ -108,6 +108,7 @@ class SdfBuilder:
         self.oob_value = oob_value
         self.backend = backend
         self.primitives: List[Primitive] = []
+        self.meshes: List[Tuple[np.ndarray, np.ndarray]] = []  # (verts, faces)
         self.octomap_occupancy: Optional[Array] = None  # [nx,ny,nz] f32
         self._cached_sdf: Optional[SdfGrid] = None
         self._cached_collision_map: Optional[CollisionMap] = None
@@ -118,12 +119,23 @@ class SdfBuilder:
         self.primitives.append(prim)
         self._invalidate()
 
+    def add_mesh(self, vertices, faces):
+        """Add a watertight triangle mesh collision object (world-frame
+        vertices [V, 3], faces [T, 3]) — the arbitrary-geometry ingestion
+        path the reference gets from MoveIt (``sdf_builder.cpp:339-358``);
+        voxelized by vectorized ray parity (ops/voxelize.mesh_to_occupancy)."""
+        self.meshes.append(
+            (np.asarray(vertices, np.float32), np.asarray(faces, np.int32))
+        )
+        self._invalidate()
+
     def set_octomap(self, occupancy):
         self.octomap_occupancy = jnp.asarray(occupancy, jnp.float32)
         self._invalidate()
 
     def clear(self):
         self.primitives = []
+        self.meshes = []
         self.octomap_occupancy = None
         self._invalidate()
 
@@ -143,6 +155,12 @@ class SdfBuilder:
             UpdateMode.USE_FULL_PLANNING_SCENE,
         ):
             occ = jnp.maximum(occ, primitives_to_occupancy(self.primitives, self.meta))
+            from .ops import voxelize
+
+            for verts, faces in self.meshes:
+                occ = jnp.maximum(
+                    occ, voxelize.mesh_to_occupancy(verts, faces, self.meta)
+                )
         return occ
 
     def update_collision_map(

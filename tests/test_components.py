@@ -133,6 +133,76 @@ class TestScene:
         assert b._cached_sdf is None  # invalidated
 
 
+def _box_mesh(center, extents, R=None):
+    """Watertight 12-triangle box mesh (outward normals)."""
+    c = np.asarray(center, float)
+    e = np.asarray(extents, float) / 2
+    corners = (
+        np.array([[sx, sy, sz] for sx in (-1, 1) for sy in (-1, 1) for sz in (-1, 1)])
+        * e
+    )
+    if R is not None:
+        corners = corners @ np.asarray(R).T
+    verts = corners + c
+    quads = [(0, 1, 3, 2), (4, 6, 7, 5), (0, 4, 5, 1),
+             (2, 3, 7, 6), (0, 2, 6, 4), (1, 5, 7, 3)]
+    faces = []
+    for a, b, cc, d in quads:
+        faces += [(a, b, cc), (a, cc, d)]
+    return verts.astype(np.float32), np.asarray(faces, np.int32)
+
+
+class TestMeshVoxelize:
+    def test_rotated_box_mesh_matches_primitive(self):
+        """Ray-parity mesh voxelization == the analytic box containment for
+        an arbitrarily rotated box (every cell center is strictly inside or
+        outside, so the two filled tests must agree exactly)."""
+        from sdf_tools_tpu.ops import voxelize
+
+        meta = _meta((32, 28, 24), 0.1)
+        th = 0.5
+        Rz = np.array([[np.cos(th), -np.sin(th), 0], [np.sin(th), np.cos(th), 0], [0, 0, 1]])
+        Rx = np.array([[1, 0, 0], [0, np.cos(0.3), -np.sin(0.3)], [0, np.sin(0.3), np.cos(0.3)]])
+        R = Rz @ Rx
+        center, ext = [1.5, 1.4, 1.2], [1.1, 0.8, 0.9]
+        verts, faces = _box_mesh(center, ext, R)
+        occ_mesh = np.asarray(voxelize.mesh_to_occupancy(verts, faces, meta))
+        occ_prim = np.asarray(
+            scene_mod.primitives_to_occupancy(
+                [scene_mod.Primitive.box(center, ext, R)], meta
+            )
+        )
+        assert occ_mesh.sum() > 100  # non-trivial fill
+        np.testing.assert_array_equal(occ_mesh, occ_prim)
+
+    def test_hollow_mesh_parity(self):
+        """A box-with-cavity (inner shell wound inward) must fill the shell
+        only — ray parity handles nested surfaces."""
+        from sdf_tools_tpu.ops import voxelize
+
+        meta = _meta((20, 20, 20), 0.1)
+        vo, fo = _box_mesh([1.0, 1.0, 1.0], [1.2, 1.2, 1.2])
+        vi, fi = _box_mesh([1.0, 1.0, 1.0], [0.6, 0.6, 0.6])
+        verts = np.concatenate([vo, vi])
+        faces = np.concatenate([fo, fi[:, ::-1] + 8])  # inner flipped
+        occ = np.asarray(voxelize.mesh_to_occupancy(verts, faces, meta))
+        assert occ[10, 10, 10] == 0.0  # cavity
+        assert occ[5, 10, 10] == 1.0  # shell
+        assert occ[1, 1, 1] == 0.0  # outside
+
+    def test_builder_ingests_mesh(self):
+        meta = _meta((16, 16, 16), 0.1)
+        b = scene_mod.SdfBuilder(meta, oob_value=1e3, backend="stencil")
+        verts, faces = _box_mesh([0.8, 0.8, 0.8], [0.6, 0.6, 0.6])
+        b.add_mesh(verts, faces)
+        sdf = b.update_sdf(scene_mod.UpdateMode.USE_ONLY_COLLISION_OBJECTS)
+        v = np.asarray(sdf.values)
+        assert v[8, 8, 8] < 0 and v[1, 1, 1] > 0
+        assert b.update_sdf(scene_mod.UpdateMode.USE_CACHED) is sdf
+        b.clear()
+        assert b.meshes == [] and b._cached_sdf is None
+
+
 class TestImageSdf:
     def test_pixel_units_and_signs(self):
         img = np.zeros((32, 24), np.uint8)
