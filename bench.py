@@ -34,7 +34,16 @@ def make_scene(n: int, seed: int = 0) -> np.ndarray:
     return mask
 
 
-def bench_tpu(mask: np.ndarray, repeats: int = 5) -> float:
+def _spread(times):
+    """{median, min, max} of a timing list (seconds)."""
+    return {
+        "median": float(np.median(times)),
+        "min": float(np.min(times)),
+        "max": float(np.max(times)),
+    }
+
+
+def bench_tpu(mask: np.ndarray, repeats: int = 5) -> dict:
     import jax
     import jax.numpy as jnp
 
@@ -56,7 +65,7 @@ def bench_tpu(mask: np.ndarray, repeats: int = 5) -> float:
         t0 = time.perf_counter()
         _ = float(f(m))
         times.append(time.perf_counter() - t0)
-    return float(np.median(times))
+    return _spread(times)
 
 
 def bench_cpu_baseline(mask: np.ndarray) -> float:
@@ -108,8 +117,7 @@ def bench_render(mask: np.ndarray, repeats: int = 3):
         t0 = time.perf_counter()
         mean_depth = float(f(sdf, origins, dirs))
         times.append(time.perf_counter() - t0)
-    t = float(np.median(times))
-    return h * w / t, t, mean_depth
+    return _spread(times), h * w, mean_depth
 
 
 def bench_render_bwd(mask: np.ndarray, repeats: int = 3):
@@ -163,8 +171,7 @@ def bench_render_bwd(mask: np.ndarray, repeats: int = 3):
         t0 = time.perf_counter()
         _ = float(f(sdf.values, origins, dirs))
         times.append(time.perf_counter() - t0)
-    t = float(np.median(times))
-    return h * w / t, t
+    return _spread(times), h * w
 
 
 def bench_edt_bwd(mask: np.ndarray, repeats: int = 3):
@@ -190,49 +197,104 @@ def bench_edt_bwd(mask: np.ndarray, repeats: int = 3):
         t0 = time.perf_counter()
         _ = float(f(occ))
         times.append(time.perf_counter() - t0)
-    t = float(np.median(times))
-    n = mask.shape[0]
-    return n**3 / t, t
+    return _spread(times)
+
+
+def _measure_all(mask, child: bool):
+    """One process's measurements. Child processes measure only the two
+    headline metrics (EDT forward + render forward) to bound wall time."""
+    out = {"edt": bench_tpu(mask, repeats=5)}
+    sp_r, rays, _ = bench_render(mask, repeats=5)
+    out["render"] = sp_r
+    out["rays"] = rays
+    if not child:
+        sp_rb, rays_b = bench_render_bwd(mask)
+        out["render_bwd"] = sp_rb
+        out["rays_bwd"] = rays_b
+        out["edt_bwd"] = bench_edt_bwd(mask)
+    return out
 
 
 def main():
-    n = 512
-    mask = make_scene(n)
-    t_tpu = bench_tpu(mask)
-    vox_per_s = n**3 / t_tpu
+    import os
+    import subprocess
+    import sys
 
-    rays_per_s, t_render, _ = bench_render(mask)
-    bwd_rays_per_s, t_render_bwd = bench_render_bwd(mask)
-    edt_bwd_vox_per_s, t_edt_bwd = bench_edt_bwd(mask)
+    n = int(os.environ.get("SDFT_BENCH_N", "512"))  # test hook; driver: 512
+    mask = make_scene(n)
+    if "--child" in sys.argv:
+        print("CHILD " + json.dumps(_measure_all(mask, child=True)))
+        return
+
+    m = _measure_all(mask, child=False)
+
+    # SECOND PROCESS (fresh jit caches, fresh tunnel session): round-4's
+    # driver-captured numbers differed ~7% from the builder's in-process
+    # numbers; cross-process spread is part of the honest error bar.
+    proc2 = None
+    try:
+        r = subprocess.run(
+            [sys.executable, __file__, "--child"],
+            capture_output=True, text=True, timeout=3600,
+        )
+        for line in r.stdout.splitlines():
+            if line.startswith("CHILD "):
+                proc2 = json.loads(line[6:])
+    except Exception:
+        proc2 = None
+
+    t_tpu = m["edt"]["median"]
+    vox_per_s = n**3 / t_tpu
+    rays_per_s = m["rays"] / m["render"]["median"]
 
     # CPU baseline at 256^3 extrapolated to 512^3 (8x voxels, same per-voxel
     # cost for this algorithm class) to keep bench wall time bounded.
     nb = 256
-    t_cpu_small = bench_cpu_baseline(make_scene(nb))
-    t_cpu = t_cpu_small * (n**3 / nb**3)
+    t_cpu = bench_cpu_baseline(make_scene(nb)) * (n**3 / nb**3)
 
-    # Roofline accounting (see docs/ARCHITECTURE.md): the envelope kernels
-    # are VPU-compute-bound at ~7 ops/voxel/iteration; iteration count is
-    # data-adaptive (max per-tile source distance). HBM-traffic floor =
-    # (2 fields) x (3 passes) x (read+write 4B/voxel).
+    # Honest compute roofline for this algorithm family (docs/NOTES.md §14):
+    # exact EDT on a lockstep ISA is COMPUTE-bound at Omega(N * D_eff) VPU
+    # ops; ~0.11-0.15 s at 512^3 with perfect lowering. The HBM floor
+    # (2 fields x 3 passes x rd+wr) is unreachable by ~12x for ANY exact
+    # method expressible on this ISA and is reported only for context.
     hbm_floor_s = 2 * 3 * 2 * 4 * n**3 / 800e9
+    compute_roofline_s = 0.13
+
+    def rel_spread(sp):
+        return round((sp["max"] - sp["min"]) / sp["median"], 4)
 
     result = {
-        "metric": "edt_512_voxels_per_s",
+        "metric": f"edt_{n}_voxels_per_s",
         "value": round(vox_per_s, 1),
         "unit": "voxel/s",
         "vs_baseline": round(t_cpu / t_tpu, 2),
         "tpu_seconds": round(t_tpu, 4),
+        "tpu_seconds_minmax": [round(m["edt"]["min"], 4), round(m["edt"]["max"], 4)],
         "render_rays_per_s": round(rays_per_s, 1),
-        "render_seconds_1Mray": round(t_render, 4),
-        "render_bwd_rays_per_s": round(bwd_rays_per_s, 1),
-        "render_bwd_seconds_1Mray": round(t_render_bwd, 4),
-        "edt_bwd_voxels_per_s": round(edt_bwd_vox_per_s, 1),
-        "edt_bwd_seconds": round(t_edt_bwd, 4),
+        "render_seconds_1Mray": round(m["render"]["median"], 4),
+        "render_seconds_minmax": [
+            round(m["render"]["min"], 4), round(m["render"]["max"], 4)
+        ],
+        "render_bwd_rays_per_s": round(m["rays_bwd"] / m["render_bwd"]["median"], 1),
+        "render_bwd_seconds_1Mray": round(m["render_bwd"]["median"], 4),
+        "edt_bwd_voxels_per_s": round(n**3 / m["edt_bwd"]["median"], 1),
+        "edt_bwd_seconds": round(m["edt_bwd"]["median"], 4),
         "cpu_baseline_seconds_extrapolated": round(t_cpu, 2),
         "hbm_roofline_seconds": round(hbm_floor_s, 4),
+        "compute_roofline_seconds": compute_roofline_s,
+        "edt_rel_spread_inproc": rel_spread(m["edt"]),
+        "render_rel_spread_inproc": rel_spread(m["render"]),
         "scene": f"{n}^3 random spheres, fill={mask.mean():.3f}",
     }
+    if proc2 is not None:
+        t2 = proc2["edt"]["median"]
+        r2 = proc2["rays"] / proc2["render"]["median"]
+        result["tpu_seconds_proc2"] = round(t2, 4)
+        result["render_rays_per_s_proc2"] = round(r2, 1)
+        result["edt_cross_process_rel"] = round(abs(t2 - t_tpu) / t_tpu, 4)
+        result["render_cross_process_rel"] = round(
+            abs(r2 - rays_per_s) / rays_per_s, 4
+        )
     print(json.dumps(result))
 
 

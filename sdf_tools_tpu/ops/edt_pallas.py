@@ -40,12 +40,19 @@ INF_D2 = 1 << 29  # python int: kernels must not capture traced constants
 # amortizes the while-loop bookkeeping, quiescence reduce and roll latency
 # over k units, and all 2k rolls issue from the SAME input (ILP) instead of
 # forming a serial chain. k=1 is the classic odd-weight 1,3,5,... member.
-_ENVELOPE_K = int(os.environ.get("SDFT_ENVELOPE_K", "4"))
+# Measured at 512^3 (scripts/bench_r5_ktap.py, docs/ROUND5.md): envelope
+# total 286 -> ~210-220 ms, monotone to k~12-16, saturating after (the free
+# field's small distances turn extra tap width into overshoot); tree-min
+# candidate reduction and pad-based edge handling both measured slower;
+# mask hoisting is a wash (Mosaic LICM). Default: k=12, serial, masks.
+_ENVELOPE_K = int(os.environ.get("SDFT_ENVELOPE_K", "12"))
 
 # Single-sided INF pad along the scanned axis: rolls by |s| <= pad wrap
-# through the pad region instead of the opposite line end, so the 2k per-step
-# edge-mask selects collapse to ONE pad-restore select per step.
-_ENVELOPE_PAD = os.environ.get("SDFT_ENVELOPE_PAD", "1") not in ("0", "false")
+# through the pad region instead of the opposite line end, so the 2k
+# per-step edge-mask selects collapse to ONE pad-restore select per step.
+# Measured consistently ~2-4% SLOWER than masks (the selects fuse; the pad
+# inflates every roll) — kept for the record, off by default.
+_ENVELOPE_PAD = os.environ.get("SDFT_ENVELOPE_PAD", "0") not in ("0", "false")
 
 
 def _out_struct(x, shape, dtype):
@@ -574,7 +581,7 @@ def envelope_pass_pallas(
     pad: bool | None = None,
     check_every: int | None = None,
     tree: bool = False,
-    hoist: bool = True,
+    hoist: bool = False,
 ) -> jax.Array:
     """Exact envelope transform along `axis` (1 or 2) of a 3D int32 array.
 
@@ -602,6 +609,13 @@ def envelope_pass_pallas(
             f.reshape(X, 1, Y), 2, interpret, k, pad, check_every, tree, hoist
         )
         return out.reshape(X, Y, 1)
+    if axis == 2 and Y == 1 and X > 1:
+        # [X, 1, Z] is memory-identical to [1, X, Z]; a 1-sublane block pads
+        # 8x physically, which blew the scoped-VMEM budget at larger k
+        out = envelope_pass_pallas(
+            f.reshape(1, X, Z), 2, interpret, k, pad, check_every, tree, hoist
+        )
+        return out.reshape(X, 1, Z)
     # pad to the native tiling granularity of the scanned dim (sublane 8 /
     # lane 128); the pad must cover the widest tap
     if pad:
@@ -632,11 +646,22 @@ def envelope_pass_pallas(
     kernel = functools.partial(
         _envelope_kernel, axis, n, k, check_every, pad_n, tree, hoist
     )
+    # scoped-VMEM headroom: ~6 live block copies (in/out double-buffered +
+    # carry) plus transient roll/candidate registers that scale with k; the
+    # physical block rounds the sublane dim up to 8
+    phys_block = list(block)
+    phys_block[1] = max(8, phys_block[1])
+    phys_bytes = 4 * phys_block[0] * phys_block[1] * phys_block[2]
+    vmem_bytes = min(
+        100 * 1024 * 1024,
+        max(24 * 1024 * 1024, phys_bytes * (8 + 2 * k + (2 * k if hoist else 0))),
+    )
     return pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[pl.BlockSpec(block, index_map, memory_space=pltpu.VMEM)],
         out_specs=pl.BlockSpec(block, index_map, memory_space=pltpu.VMEM),
         out_shape=_out_struct(f, f.shape, jnp.int32),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=vmem_bytes),
         interpret=interpret,
     )(f)
