@@ -36,6 +36,36 @@ def timed(f, *args, reps=3):
 
 
 ref_sums = {}
+if len(sys.argv) > 2 and sys.argv[2] == "bb":
+    # block-bytes sweep at the production schedule (k=12, serial, masks):
+    # the free field looks LAUNCH-bound (~flat vs k; 2048 grid steps/pass
+    # at 256KB tiles), so larger tiles may buy it back; the filled field
+    # paid 21% for 1MB tiles at k=1 — re-measure at k=12.
+    for bb in (256 * 1024, 512 * 1024, 1024 * 1024, 2 * 1024 * 1024):
+        total = 0.0
+        line = f"bb={bb>>10:5d}K:"
+        ok = True
+        for fname, f0 in fields:
+            def run(g, bb=bb):
+                edt_pallas._BLOCK_BYTES = bb
+                g1 = edt_pallas.envelope_pass_pallas.__wrapped__(
+                    g, 1, k=12, check_every=1)
+                g2 = edt_pallas.envelope_pass_pallas.__wrapped__(
+                    g1, 2, k=12, check_every=1)
+                return jnp.sum(g2.astype(jnp.float32)) + 1e-3 * jnp.sum(
+                    (g2 & 0xFF).astype(jnp.float32))
+            f = jax.jit(run)
+            s = float(f(f0))
+            if fname not in ref_sums:
+                ref_sums[fname] = s
+            elif ref_sums[fname] != s:
+                ok = False
+            t = timed(f, f0, reps=5)
+            total += t
+            line += f"  {fname} {t*1e3:7.1f} ms"
+        line += f"  TOTAL {total*1e3:7.1f} ms" + ("" if ok else "  !!! CHECKSUM MISMATCH")
+        print(line, flush=True)
+    sys.exit(0)
 if len(sys.argv) > 2 and sys.argv[2] == "ab":
     # head-to-head IN ONE PROCESS: hoisted vs in-body edge masks (serial
     # reduction; tree lost the previous A/B) at the winning tap widths

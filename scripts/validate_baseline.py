@@ -233,22 +233,26 @@ def config4_sdf_render_512():
     hits = np.argwhere(np.asarray(r0.hit))
     sel = hits[np.linspace(0, len(hits) - 1, 8).astype(int)]
 
-    def pix_depth(values, py, px):
+    # pixel index is TRACED (a static index would recompile the 512^3 grad
+    # render once per probe pixel — ~minutes each through the remote
+    # compile tunnel)
+    def pix_depth(values, pflat):
         s = SdfGrid(values=values, meta=meta, oob_value=sdf.oob_value)
         r = render.render_depth(s, origins, dirs, t_max=t_max, max_steps=64)
-        return r.depth[py, px]
+        return r.depth.reshape(-1)[pflat]
 
-    dgrad = jax.jit(jax.grad(pix_depth), static_argnums=(1, 2))
-    dval = jax.jit(pix_depth, static_argnums=(1, 2))
+    dgrad = jax.jit(jax.grad(pix_depth))
+    dval = jax.jit(pix_depth)
     ratios = []
     for py, px in sel:
-        g = np.asarray(dgrad(sdf.values, int(py), int(px)))
+        pflat = jnp.int32(int(py) * w + int(px))
+        g = np.asarray(dgrad(sdf.values, pflat))
         c = np.unravel_index(np.abs(g).reshape(-1).argmax(), g.shape)
         ga = float(g[c])
         best = np.inf
         for eps in (0.2 * res, 0.4 * res):
-            dp = float(dval(sdf.values.at[c].add(eps), int(py), int(px)))
-            dm = float(dval(sdf.values.at[c].add(-eps), int(py), int(px)))
+            dp = float(dval(sdf.values.at[c].add(eps), pflat))
+            dm = float(dval(sdf.values.at[c].add(-eps), pflat))
             fd = (dp - dm) / (2 * eps)
             if fd != 0.0 and np.sign(fd) == np.sign(ga):
                 r = max(ga / fd, fd / ga)
