@@ -85,13 +85,6 @@ _BLOCK_BYTES = 256 * 1024
 _LINE_BLOCK_BYTES = 8 * 1024 * 1024
 
 
-def _edge_masks(shape, axis: int, n: int):
-    """Boundary masks for +1/-1 shifts along `axis` (hoisted out of the
-    relaxation loop — one compute per kernel instead of per iteration)."""
-    idx = lax.broadcasted_iota(jnp.int32, shape, axis)
-    return idx < 1, idx >= n - 1
-
-
 def _pvary_like(x, ref):
     """Reattach mesh-varying axes lost by primitives (pltpu.roll) when the
     kernel runs in interpret mode inside shard_map(check_vma=True)."""
@@ -287,7 +280,9 @@ def line_pass_pallas(
     )(mask.astype(jnp.int32))
 
 
-def _envelope_carry_kernel(axis: int, n: int, n_payload: int, *refs):
+def _envelope_carry_kernel(
+    axis: int, n: int, n_payload: int, k: int, check_every: int, *refs
+):
     """Envelope relaxation carrying `n_payload` payload registers per cell.
 
     Payloads are INHERITED along winning relaxation chains: whenever a
@@ -299,10 +294,13 @@ def _envelope_carry_kernel(axis: int, n: int, n_payload: int, *refs):
     so no post-pass `payload[winner]` lookup is needed — scattered 134M
     gathers measured 5.4 s/transform at 512^3, ~10x the passes themselves).
 
-    Same odd-weight schedule / quiescence exit as `_envelope_kernel`:
-    payloads can only change when d improves, so d-quiescence also
-    certifies the payload maps. The reference keeps its `closest_point`
-    inside the propagation state the same way (sdf_generation.hpp:19-27).
+    Runs the same generalized (2k+1)-tap schedule as `_envelope_kernel`
+    (NOTES §14a/§15): within a step every tap reads the start-of-step
+    field; the payload accumulator tracks the argmin tap (any witness of
+    the min is a valid winner). Quiescence exit unchanged: payloads can
+    only change when d improves, so d-quiescence also certifies the
+    payload maps. The reference keeps its `closest_point` inside the
+    propagation state the same way (sdf_generation.hpp:19-27).
     """
     d_ref = refs[0]
     payload_in = refs[1 : 1 + n_payload]
@@ -310,43 +308,47 @@ def _envelope_carry_kernel(axis: int, n: int, n_payload: int, *refs):
     payload_out = refs[2 + n_payload :]
     d0 = d_ref[:]
     p0 = tuple(r[:] for r in payload_in)
-    mask_lo, mask_hi = _edge_masks(d0.shape, axis, n)
+    idx = lax.broadcasted_iota(jnp.int32, d0.shape, axis)
 
     def cond(state):
         t, _, _, done = state
-        return jnp.logical_and(jnp.logical_not(done), t <= n)
+        return jnp.logical_and(jnp.logical_not(done), (t - 1) * k <= n)
 
     def body(state):
         t, d, ps, _ = state
 
-        def one(k, carry):
+        def one(j, carry):
             dd, pp = carry
-            c = 2 * (t + k) - 1
-            up = _roll_shift(dd, axis, 1, n, mask_lo)
-            dn = _roll_shift(dd, axis, -1, n, mask_hi)
-            cand = jnp.minimum(up, dn) + c
-            take_up = up <= dn
-            win = cand < dd
-            new_d = jnp.minimum(dd, cand)
-            # rolled-in payloads are only selected where the matching d
-            # roll is finite (masked rolls carry INF_D2, which never wins)
-            new_p = tuple(
-                jnp.where(
-                    win,
+            tt = t + j
+            acc_d = dd
+            acc_p = pp
+            for s in range(1, k + 1):
+                c = s * s + 2 * s * k * (tt - 1)
+                up = _roll_shift(dd, axis, s, n, idx < s)
+                dn = _roll_shift(dd, axis, -s, n, idx >= n - s)
+                cand = jnp.minimum(up, dn) + c
+                take_up = up <= dn
+                win = cand < acc_d
+                acc_d = jnp.minimum(acc_d, cand)
+                # rolled-in payloads are only selected where the matching d
+                # roll is finite (masked rolls carry INF_D2, never winning)
+                acc_p = tuple(
                     jnp.where(
-                        take_up,
-                        _pvary_like(pltpu.roll(q, shift=1 % n, axis=axis), q),
-                        _pvary_like(pltpu.roll(q, shift=-1 % n, axis=axis), q),
-                    ),
-                    q,
+                        win,
+                        jnp.where(
+                            take_up,
+                            _pvary_like(pltpu.roll(q, shift=s % n, axis=axis), q),
+                            _pvary_like(pltpu.roll(q, shift=(-s) % n, axis=axis), q),
+                        ),
+                        a,
+                    )
+                    for q, a in zip(pp, acc_p)
                 )
-                for q in pp
-            )
-            return new_d, new_p
+            return acc_d, acc_p
 
-        new_d, new_ps = lax.fori_loop(0, _CHECK_EVERY, one, (d, ps))
+        new_d, new_ps = lax.fori_loop(0, check_every, one, (d, ps))
         done = jnp.all(new_d == d)
-        return t + _CHECK_EVERY, new_d, new_ps, done
+        return t + check_every, new_d, new_ps, done
 
     _, d_final, p_final, _ = lax.while_loop(
         cond, body, (jnp.int32(1), d0, p0, jnp.array(False))
@@ -356,13 +358,20 @@ def _envelope_carry_kernel(axis: int, n: int, n_payload: int, *refs):
         r[:] = p
 
 
-@functools.partial(jax.jit, static_argnames=("axis", "interpret"))
+@functools.partial(
+    jax.jit, static_argnames=("axis", "interpret", "k", "check_every")
+)
 def envelope_carry_pallas(
-    f: jax.Array, payloads, axis: int, interpret: bool = False
+    f: jax.Array, payloads, axis: int, interpret: bool = False,
+    k: int | None = None, check_every: int | None = None,
 ):
     """(out, *carried): exact envelope along `axis` (1 or 2) plus each
     payload array inherited along the winning chains (see kernel doc).
     Block sizes shrink with the number of live registers."""
+    if k is None:
+        k = _ENVELOPE_K
+    if check_every is None:
+        check_every = max(1, _CHECK_EVERY // k)
     payloads = tuple(payloads)
     X, Y, Z = f.shape
     n = f.shape[axis]
@@ -371,7 +380,7 @@ def envelope_carry_pallas(
     if axis == 1 and Z == 1:
         outs = envelope_carry_pallas(
             f.reshape(X, 1, Y), tuple(p.reshape(X, 1, Y) for p in payloads),
-            2, interpret,
+            2, interpret, k, check_every,
         )
         return tuple(o.reshape(X, Y, 1) for o in outs)
     n_arrays = 1 + len(payloads)
@@ -392,13 +401,23 @@ def envelope_carry_pallas(
         raise ValueError("envelope_carry_pallas supports axis 1 or 2")
 
     spec = pl.BlockSpec(block, index_map, memory_space=pltpu.VMEM)
-    kernel = functools.partial(_envelope_carry_kernel, axis, n, len(payloads))
+    kernel = functools.partial(
+        _envelope_carry_kernel, axis, n, len(payloads), k, check_every
+    )
+    # scoped-VMEM headroom: see envelope_pass_pallas (per-array block plus
+    # k-scaled roll/candidate temporaries across 1 + n_payload arrays)
+    blk_bytes = 4 * block[0] * max(8, block[1]) * block[2]
+    vmem_bytes = min(
+        100 * 1024 * 1024,
+        max(24 * 1024 * 1024, blk_bytes * n_arrays * (6 + 2 * k)),
+    )
     outs = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[spec] * n_arrays,
         out_specs=[spec] * n_arrays,
         out_shape=[_out_struct(f, f.shape, jnp.int32)] * n_arrays,
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=vmem_bytes),
         interpret=interpret,
     )(f, *(p.astype(jnp.int32) for p in payloads))
     return tuple(outs)
