@@ -47,6 +47,13 @@ INF_D2 = 1 << 29  # python int: kernels must not capture traced constants
 # mask hoisting is a wash (Mosaic LICM). Default: k=12, serial, masks.
 _ENVELOPE_K = int(os.environ.get("SDFT_ENVELOPE_K", "12"))
 
+# Tap width for the FREE field inside the fused dual-field kernel: its
+# winning distances are small (inside-obstacle depths, Dmax ~8-59 on the
+# bench scene), so a narrow schedule avoids paying a wide step plus its
+# 2k-roll quiescence certificate on Dmax~8 tiles. Swept on-chip; see
+# NOTES §15 (dual-kernel addendum).
+_ENVELOPE_K_FREE = int(os.environ.get("SDFT_ENVELOPE_K_FREE", "4"))
+
 # Single-sided INF pad along the scanned axis: rolls by |s| <= pad wrap
 # through the pad region instead of the opposite line end, so the 2k
 # per-step edge-mask selects collapse to ONE pad-restore select per step.
@@ -275,6 +282,192 @@ def line_pass_pallas(
         in_specs=[pl.BlockSpec(block, index_map, memory_space=pltpu.VMEM)],
         out_specs=pl.BlockSpec(block, index_map, memory_space=pltpu.VMEM),
         out_shape=_out_struct(mask, mask.shape, jnp.int32),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=vmem_bytes),
+        interpret=interpret,
+    )(mask.astype(jnp.int32))
+
+
+def _envelope_dual_kernel(
+    axis: int, n: int, ka: int, kb: int, check_every: int,
+    da_ref, db_ref, oa_ref, ob_ref,
+):
+    """Two independent envelope relaxations (filled + free field) in ONE
+    kernel: per tile, phase A relaxes field a to quiescence with tap width
+    ``ka``, then phase B relaxes field b with ``kb``.
+
+    Why fuse (NOTES §15): the free field's standalone envelope pass is
+    launch/HBM/minimum-steps-bound (~46-54 ms flat in k at 512^3 against a
+    ~7 ms compute floor) — its distances are tiny, so the pass cost is one
+    grid launch + one HBM read/write + 1-2 relaxation steps. Sharing the
+    launch, the grid scheduling and the DMA pipeline with the filled
+    field's pass leaves only those 1-2 steps of vector work. Total vector
+    work is EXACTLY the sum of the two single-field kernels (sequential
+    phases, no lockstep waste); the per-field tap widths let the free
+    field run a narrow schedule (its Dmax is small, so a wide step plus
+    its 2k-roll quiescence certificate is pure overshoot).
+    """
+    idx = lax.broadcasted_iota(jnp.int32, da_ref.shape, axis)
+
+    def relax(d0, k):
+        def cond(state):
+            t, _, done = state
+            return jnp.logical_and(jnp.logical_not(done), (t - 1) * k <= n)
+
+        def body(state):
+            t, d, _ = state
+
+            def one(j, dd):
+                tt = t + j
+                acc = dd
+                for s in range(1, k + 1):
+                    c = s * s + 2 * s * k * (tt - 1)
+                    up = _roll_shift(dd, axis, s, n, idx < s)
+                    dn = _roll_shift(dd, axis, -s, n, idx >= n - s)
+                    acc = jnp.minimum(acc, jnp.minimum(up, dn) + c)
+                return acc
+
+            new_d = lax.fori_loop(0, check_every, one, d)
+            done = jnp.all(new_d == d)
+            return t + check_every, new_d, done
+
+        _, d_final, _ = lax.while_loop(
+            cond, body, (jnp.int32(1), d0, jnp.array(False))
+        )
+        return d_final
+
+    oa_ref[:] = relax(da_ref[:], ka)
+    ob_ref[:] = relax(db_ref[:], kb)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("axis", "interpret", "ka", "kb", "check_every")
+)
+def envelope_dual_pallas(
+    fa: jax.Array, fb: jax.Array, axis: int, interpret: bool = False,
+    ka: int | None = None, kb: int | None = None,
+    check_every: int | None = None,
+):
+    """(out_a, out_b): exact envelopes of two fields along `axis` from one
+    fused kernel launch (see `_envelope_dual_kernel`). Semantically
+    identical to two `envelope_pass_pallas` calls."""
+    if ka is None:
+        ka = _ENVELOPE_K
+    if kb is None:
+        kb = _ENVELOPE_K_FREE
+    if check_every is None:
+        check_every = 1
+    if fa.shape != fb.shape:
+        raise ValueError((fa.shape, fb.shape))
+    X, Y, Z = fa.shape
+    n = fa.shape[axis]
+    if n == 1:
+        return fa, fb
+    if axis == 1 and Z == 1:
+        oa, ob = envelope_dual_pallas(
+            fa.reshape(X, 1, Y), fb.reshape(X, 1, Y), 2, interpret, ka, kb,
+            check_every,
+        )
+        return oa.reshape(X, Y, 1), ob.reshape(X, Y, 1)
+    if axis == 2 and Y == 1 and X > 1:
+        oa, ob = envelope_dual_pallas(
+            fa.reshape(1, X, Z), fb.reshape(1, X, Z), 2, interpret, ka, kb,
+            check_every,
+        )
+        return oa.reshape(X, 1, Z), ob.reshape(X, 1, Z)
+    if axis == 1:
+        zt = _lane_tile(Z)
+        xt = _pick_tile(X, max(1, _BLOCK_BYTES // (Y * zt * 4)))
+        grid = (X // xt, Z // zt)
+        block = (xt, Y, zt)
+        index_map = lambda i, j: (i, 0, j)
+    elif axis == 2:
+        yt = 8 if Y % 8 == 0 else Y
+        xt = _pick_tile(X, max(1, _BLOCK_BYTES // (yt * Z * 4)))
+        grid = (X // xt, Y // yt)
+        block = (xt, yt, Z)
+        index_map = lambda i, j: (i, j, 0)
+    else:
+        raise ValueError("envelope_dual_pallas supports axis 1 or 2")
+    spec = pl.BlockSpec(block, index_map, memory_space=pltpu.VMEM)
+    kernel = functools.partial(
+        _envelope_dual_kernel, axis, n, ka, kb, check_every
+    )
+    phys_block = list(block)
+    phys_block[1] = max(8, phys_block[1])
+    phys_bytes = 4 * phys_block[0] * phys_block[1] * phys_block[2]
+    kmax = max(ka, kb)
+    vmem_bytes = min(
+        100 * 1024 * 1024,
+        max(24 * 1024 * 1024, phys_bytes * 2 * (8 + 2 * kmax)),
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[spec, spec],
+        out_specs=[spec, spec],
+        out_shape=[_out_struct(fa, fa.shape, jnp.int32)] * 2,
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=vmem_bytes),
+        interpret=interpret,
+    )(fa, fb)
+
+
+def _line_pass_dual_kernel(n: int, mask_ref, outa_ref, outb_ref):
+    """Both binary line passes (seeds = mask, seeds = ~mask) from ONE mask
+    read. The pass is LATENCY-bound (n sequential one-row steps at ~125 ns
+    regardless of row width — see `_line_pass_kernel`), so folding the
+    second field into the same sequential sweeps is nearly free: ~half the
+    cost of two separate passes, and the mask is read from HBM once."""
+    BIG = n
+    m = mask_ref[:] != 0
+    outa_ref[:] = jnp.where(m, 0, BIG)
+    outb_ref[:] = jnp.where(m, BIG, 0)
+
+    def fwd(t, _):
+        outa_ref[t] = jnp.minimum(outa_ref[t], outa_ref[t - 1] + 1)
+        outb_ref[t] = jnp.minimum(outb_ref[t], outb_ref[t - 1] + 1)
+        return 0
+
+    lax.fori_loop(1, n, fwd, 0)
+
+    def bwd(k, _):
+        t = n - 2 - k
+        outa_ref[t] = jnp.minimum(outa_ref[t], outa_ref[t + 1] + 1)
+        outb_ref[t] = jnp.minimum(outb_ref[t], outb_ref[t + 1] + 1)
+        return 0
+
+    lax.fori_loop(0, n - 1, bwd, 0)
+    da = outa_ref[:]
+    db = outb_ref[:]
+    outa_ref[:] = jnp.where(da >= BIG, INF_D2, da * da)
+    outb_ref[:] = jnp.where(db >= BIG, INF_D2, db * db)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def line_pass_dual_pallas(mask: jax.Array, interpret: bool = False):
+    """(d2_mask_seeds, d2_complement_seeds): squared line distances along
+    axis 0 to the True set and to the False set, from one mask read."""
+    X, Y, Z = mask.shape
+    if Z == 1 and Y > 1:
+        oa, ob = line_pass_dual_pallas(mask.reshape(X, 1, Y), interpret)
+        return oa.reshape(X, Y, 1), ob.reshape(X, Y, 1)
+    zt = _lane_tile(Z)
+    yt_target = max(1, _LINE_BLOCK_BYTES // (2 * X * zt * 4))
+    if Y % 8 == 0 and yt_target >= 8:
+        yt = _pick_tile(Y // 8, yt_target // 8) * 8
+    else:
+        yt = Y if Y < 8 or Y % 8 != 0 else 8
+    grid = (Y // yt, Z // zt)
+    block = (X, yt, zt)
+    index_map = lambda i, j: (0, i, j)
+    kernel = functools.partial(_line_pass_dual_kernel, X)
+    spec = pl.BlockSpec(block, index_map, memory_space=pltpu.VMEM)
+    vmem_bytes = min(100 * 1024 * 1024, 10 * X * yt * zt * 4)
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[spec],
+        out_specs=[spec, spec],
+        out_shape=[_out_struct(mask, mask.shape, jnp.int32)] * 2,
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=vmem_bytes),
         interpret=interpret,
     )(mask.astype(jnp.int32))

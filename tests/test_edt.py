@@ -244,6 +244,34 @@ def test_pallas_ktap_envelope_exact(k, pad):
 
 
 @pytest.mark.parametrize(
+    "shape",
+    [(16, 24, 32), (8, 40, 1), (1, 16, 128), (5, 7, 9), (33, 64, 129)],
+)
+def test_pallas_dual_field_fused(shape):
+    """Fused dual-field path (one line pass + one envelope kernel per axis
+    for BOTH signed-extraction fields, NOTES §15) is bit-identical to two
+    separate squared_edt calls, including degenerate/odd shapes."""
+    from sdf_tools_tpu.ops import edt_pallas
+
+    rng = np.random.default_rng(sum(shape))
+    m = rng.random(shape) < 0.12
+    if not m.any():
+        m.flat[0] = True
+    mj = jnp.asarray(m)
+    a1 = edt.squared_edt(mj, "pallas")
+    b1 = edt.squared_edt(~mj, "pallas")
+    fa, fb = edt_pallas.line_pass_dual_pallas(mj, interpret=True)
+    fa, fb = edt_pallas.envelope_dual_pallas(fa, fb, 1, interpret=True)
+    fa, fb = edt_pallas.envelope_dual_pallas(fa, fb, 2, interpret=True)
+    np.testing.assert_array_equal(np.asarray(fa), np.asarray(a1))
+    np.testing.assert_array_equal(np.asarray(fb), np.asarray(b1))
+    # the public entry point routes through the same fused path
+    a2, b2 = edt.squared_edt_both(mj, "pallas")
+    np.testing.assert_array_equal(np.asarray(a2), np.asarray(a1))
+    np.testing.assert_array_equal(np.asarray(b2), np.asarray(b1))
+
+
+@pytest.mark.parametrize(
     "shape", [(100, 90, 60), (33, 130, 7), (256, 100, 1), (65, 64, 129)]
 )
 def test_pallas_odd_shapes(shape):
