@@ -99,7 +99,9 @@ def _ft_fwd(occupancy, resolution, backend):
 
     mask = occupancy > 0.5
     resolution = jnp.asarray(resolution)
-    resolved = edt.resolve_backend(backend)
+    # _effective_backend: tiny grids run the stencil on real TPUs (Mosaic
+    # degenerate-shape guard, ops/edt.py); fwd and bwd key on the same rule
+    resolved = edt._effective_backend(backend, mask)
     if resolved == "pallas":
         # Per-axis residuals: the forward saves each pass's WINNER map (not
         # the composed feature), so the backward can run as three per-axis
@@ -142,7 +144,7 @@ def _ft_fwd(occupancy, resolution, backend):
 
 
 def _ft_bwd(backend, residuals, g):
-    resolved = edt.resolve_backend(backend)
+    resolved = edt._effective_backend(backend, g)
     if resolved == "pallas":
         import jax as _jax
 

@@ -110,7 +110,7 @@ def feature_transform(seed_mask: Array, backend: str = "auto") -> Tuple[Array, A
     no_seed = d >= jnp.int32(1 << 24)
     f = jnp.where(no_seed, jnp.int32(edt.INF_D2), d * d).astype(jnp.int32)
 
-    resolved = edt.resolve_backend(backend)
+    resolved = edt._effective_backend(backend, mask)
     if resolved == "pallas":
         # gather-free composition: the y pass carries (jy-iota, x0) along
         # winning chains, the z pass carries (jz-iota, jy*, x*) — the full

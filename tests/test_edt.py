@@ -271,6 +271,23 @@ def test_pallas_dual_field_fused(shape):
     np.testing.assert_array_equal(np.asarray(b2), np.asarray(b1))
 
 
+def test_tiny_grid_backend_guard(monkeypatch):
+    """On real TPUs, grids under _PALLAS_MIN_CELLS run the XLA stencil
+    (tiny/degenerate Mosaic blocks crashed the TPU runtime — round 5,
+    measured on (8,40,1)/(5,7,9)); interpret mode (CPU) keeps the pallas
+    path so the kernels stay covered by tests."""
+    small = jnp.zeros((8, 40, 1), bool)
+    big = jnp.zeros((64, 64, 64), bool)
+    # CPU (this test env): no downgrade, interpret handles every shape
+    assert edt._effective_backend("pallas", small) == "pallas"
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    assert edt._effective_backend("pallas", small) == "stencil"
+    assert edt._effective_backend("auto", small) == "stencil"
+    assert edt._effective_backend("pallas", big) == "pallas"
+    assert edt._effective_backend("stencil", small) == "stencil"
+    assert edt._effective_backend("reference", small) == "reference"
+
+
 @pytest.mark.parametrize(
     "shape", [(100, 90, 60), (33, 130, 7), (256, 100, 1), (65, 64, 129)]
 )
