@@ -32,6 +32,24 @@ mismatch = int((d2_tpu.astype(np.int64) != d2_ref).sum())
 print(f"d2 mismatches: {mismatch} / {mask.size}")
 assert mismatch == 0, "TPU EDT is not exact!"
 
+# fused dual-field path (the production signed-field route, NOTES §17):
+# on-device elementwise comparison against the oracle-validated single
+# path, scalar mismatch counts fetched (full volumes never cross the
+# tunnel)
+t0 = time.time()
+mm_a, mm_b = jax.jit(
+    lambda m, ref_a: (
+        jnp.sum(edt.squared_edt_both(m, backend=backend)[0] != ref_a),
+        jnp.sum(
+            edt.squared_edt_both(m, backend=backend)[1]
+            != edt.squared_edt(~m, backend=backend)
+        ),
+    )
+)(jnp.asarray(mask), jnp.asarray(d2_tpu))
+print(f"dual-field fused path: {time.time()-t0:.2f}s, "
+      f"mismatches filled={int(mm_a)} free={int(mm_b)}")
+assert int(mm_a) == 0 and int(mm_b) == 0, "fused dual path deviates!"
+
 # signed combine check (f32 vs f64)
 d2_free = np.asarray(jax.jit(lambda m: edt.squared_edt(~m, backend=backend))(jnp.asarray(mask)))
 res = 0.05

@@ -461,7 +461,13 @@ def line_pass_dual_pallas(mask: jax.Array, interpret: bool = False):
     index_map = lambda i, j: (0, i, j)
     kernel = functools.partial(_line_pass_dual_kernel, X)
     spec = pl.BlockSpec(block, index_map, memory_space=pltpu.VMEM)
-    vmem_bytes = min(100 * 1024 * 1024, 10 * X * yt * zt * 4)
+    # 1 in + 2 out double-buffered + row temporaries ~ 12 live block copies
+    # (measured 1.54M needed at a 131K block — the 2D image path); keep the
+    # same 24MB floor as the envelope kernels so small blocks never hit the
+    # default 1.25M scoped stack
+    vmem_bytes = min(
+        100 * 1024 * 1024, max(24 * 1024 * 1024, 16 * X * yt * zt * 4)
+    )
     return pl.pallas_call(
         kernel,
         grid=grid,
