@@ -402,6 +402,27 @@ def signed_field_from_masks(
     the reference: positive in free space, negative (<= -res) inside filled.
     """
     filled_mask = jnp.asarray(filled_mask, bool)
+    if (
+        filled_mask.ndim == 3
+        and dtype == jnp.float32
+        and jnp.ndim(resolution) == 0
+        and _effective_backend(backend, filled_mask) == "pallas"
+    ):
+        # fully fused pallas route: dual line pass -> dual y envelope ->
+        # dual z envelope WITH the combine as kernel epilogue (one f32
+        # write instead of two i32 writes + a separate combine pass);
+        # bitwise identical to the unfused math (NOTES §17)
+        from . import edt_pallas
+
+        interpret = jax.default_backend() not in ("tpu", "axon")
+        fa, fb = edt_pallas.line_pass_dual_pallas(
+            filled_mask, interpret=interpret
+        )
+        fa, fb = edt_pallas.envelope_dual_pallas(fa, fb, 1, interpret=interpret)
+        dist = edt_pallas.envelope_dual_combine_pallas(
+            fa, fb, resolution, interpret=interpret
+        )
+        return dist, jnp.max(dist), jnp.min(dist)
     d2_filled, d2_free = squared_edt_both(filled_mask, backend=backend)
     dist = d2_to_distance(d2_filled, resolution, dtype) - d2_to_distance(
         d2_free, resolution, dtype

@@ -287,6 +287,40 @@ def line_pass_pallas(
     )(mask.astype(jnp.int32))
 
 
+def _relax_to_envelope(d0, axis: int, n: int, k: int, check_every: int):
+    """Relax `d0` to the exact envelope along `axis` with the (2k+1)-tap
+    schedule and the per-tile quiescence exit — the shared body of the
+    single/dual/combine envelope kernels (see `_envelope_kernel` for the
+    exactness argument)."""
+    idx = lax.broadcasted_iota(jnp.int32, d0.shape, axis)
+
+    def cond(state):
+        t, _, done = state
+        return jnp.logical_and(jnp.logical_not(done), (t - 1) * k <= n)
+
+    def body(state):
+        t, d, _ = state
+
+        def one(j, dd):
+            tt = t + j
+            acc = dd
+            for s in range(1, k + 1):
+                c = s * s + 2 * s * k * (tt - 1)
+                up = _roll_shift(dd, axis, s, n, idx < s)
+                dn = _roll_shift(dd, axis, -s, n, idx >= n - s)
+                acc = jnp.minimum(acc, jnp.minimum(up, dn) + c)
+            return acc
+
+        new_d = lax.fori_loop(0, check_every, one, d)
+        done = jnp.all(new_d == d)
+        return t + check_every, new_d, done
+
+    _, d_final, _ = lax.while_loop(
+        cond, body, (jnp.int32(1), d0, jnp.array(False))
+    )
+    return d_final
+
+
 def _envelope_dual_kernel(
     axis: int, n: int, ka: int, kb: int, check_every: int,
     da_ref, db_ref, oa_ref, ob_ref,
@@ -306,37 +340,8 @@ def _envelope_dual_kernel(
     field run a narrow schedule (its Dmax is small, so a wide step plus
     its 2k-roll quiescence certificate is pure overshoot).
     """
-    idx = lax.broadcasted_iota(jnp.int32, da_ref.shape, axis)
-
-    def relax(d0, k):
-        def cond(state):
-            t, _, done = state
-            return jnp.logical_and(jnp.logical_not(done), (t - 1) * k <= n)
-
-        def body(state):
-            t, d, _ = state
-
-            def one(j, dd):
-                tt = t + j
-                acc = dd
-                for s in range(1, k + 1):
-                    c = s * s + 2 * s * k * (tt - 1)
-                    up = _roll_shift(dd, axis, s, n, idx < s)
-                    dn = _roll_shift(dd, axis, -s, n, idx >= n - s)
-                    acc = jnp.minimum(acc, jnp.minimum(up, dn) + c)
-                return acc
-
-            new_d = lax.fori_loop(0, check_every, one, d)
-            done = jnp.all(new_d == d)
-            return t + check_every, new_d, done
-
-        _, d_final, _ = lax.while_loop(
-            cond, body, (jnp.int32(1), d0, jnp.array(False))
-        )
-        return d_final
-
-    oa_ref[:] = relax(da_ref[:], ka)
-    ob_ref[:] = relax(db_ref[:], kb)
+    oa_ref[:] = _relax_to_envelope(da_ref[:], axis, n, ka, check_every)
+    ob_ref[:] = _relax_to_envelope(db_ref[:], axis, n, kb, check_every)
 
 
 @functools.partial(
@@ -409,6 +414,82 @@ def envelope_dual_pallas(
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=vmem_bytes),
         interpret=interpret,
     )(fa, fb)
+
+
+def _envelope_dual_combine_kernel(
+    axis: int, n: int, ka: int, kb: int, check_every: int,
+    res_ref, da_ref, db_ref, out_ref,
+):
+    """Final-axis dual envelope with the signed combine fused as epilogue:
+    writes ONE f32 signed-distance block instead of two i32 d^2 blocks,
+    eliminating the separate combine kernel's full-volume read/write pair
+    (reference combine: sdf_generation.hpp:242-268). The float math is the
+    exact op sequence of `edt.d2_to_distance(a)-d2_to_distance(b)`
+    (sqrt(f32(d2))*res per field, INF sentinel -> +/-inf), so results are
+    bitwise identical to the unfused path."""
+    d_a = _relax_to_envelope(da_ref[:], axis, n, ka, check_every)
+    d_b = _relax_to_envelope(db_ref[:], axis, n, kb, check_every)
+    res = res_ref[0]
+    va = jnp.sqrt(jnp.where(d_a >= INF_D2, jnp.inf, d_a.astype(jnp.float32)))
+    vb = jnp.sqrt(jnp.where(d_b >= INF_D2, jnp.inf, d_b.astype(jnp.float32)))
+    out_ref[:] = va * res - vb * res
+
+
+@functools.partial(
+    jax.jit, static_argnames=("interpret", "ka", "kb", "check_every")
+)
+def envelope_dual_combine_pallas(
+    fa: jax.Array, fb: jax.Array, resolution, interpret: bool = False,
+    ka: int | None = None, kb: int | None = None,
+    check_every: int | None = None,
+) -> jax.Array:
+    """f32 signed distances from the two axis-1-enveloped d^2 fields: runs
+    the final axis-2 envelope on both AND the signed combine in one kernel
+    (see `_envelope_dual_combine_kernel`). `resolution` is a scalar."""
+    if ka is None:
+        ka = _ENVELOPE_K
+    if kb is None:
+        kb = _ENVELOPE_K_FREE
+    if check_every is None:
+        check_every = 1
+    if fa.shape != fb.shape:
+        raise ValueError((fa.shape, fb.shape))
+    X, Y, Z = fa.shape
+    res = jnp.asarray(resolution, jnp.float32).reshape(1)
+    if Z == 1 or (Y == 1 and X > 1):
+        # degenerate layouts reshape in the plain dual kernel; combine in XLA
+        oa, ob = envelope_dual_pallas(fa, fb, 2, interpret, ka, kb, check_every)
+        va = jnp.sqrt(jnp.where(oa >= INF_D2, jnp.inf, oa.astype(jnp.float32)))
+        vb = jnp.sqrt(jnp.where(ob >= INF_D2, jnp.inf, ob.astype(jnp.float32)))
+        return va * res[0] - vb * res[0]
+    yt = 8 if Y % 8 == 0 else Y
+    xt = _pick_tile(X, max(1, _BLOCK_BYTES // (yt * Z * 4)))
+    grid = (X // xt, Y // yt)
+    block = (xt, yt, Z)
+    index_map = lambda i, j: (i, j, 0)
+    spec = pl.BlockSpec(block, index_map, memory_space=pltpu.VMEM)
+    kernel = functools.partial(
+        _envelope_dual_combine_kernel, 2, Z, ka, kb, check_every
+    )
+    phys_bytes = 4 * xt * max(8, yt) * Z
+    kmax = max(ka, kb)
+    vmem_bytes = min(
+        100 * 1024 * 1024,
+        max(24 * 1024 * 1024, phys_bytes * 2 * (8 + 2 * kmax)),
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            spec,
+            spec,
+        ],
+        out_specs=spec,
+        out_shape=_out_struct(fa, fa.shape, jnp.float32),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=vmem_bytes),
+        interpret=interpret,
+    )(res, fa, fb)
 
 
 def _line_pass_dual_kernel(n: int, mask_ref, outa_ref, outb_ref):

@@ -269,6 +269,13 @@ def test_pallas_dual_field_fused(shape):
     a2, b2 = edt.squared_edt_both(mj, "pallas")
     np.testing.assert_array_equal(np.asarray(a2), np.asarray(a1))
     np.testing.assert_array_equal(np.asarray(b2), np.asarray(b1))
+    # signed field with the combine fused as the z-pass epilogue: bitwise
+    # identical to d2_to_distance(a) - d2_to_distance(b)
+    dist, _, _ = edt.signed_field_from_masks(mj, 0.07, "pallas")
+    ref = edt.d2_to_distance(a1, 0.07) - edt.d2_to_distance(b1, 0.07)
+    np.testing.assert_array_equal(
+        np.asarray(dist).view(np.uint32), np.asarray(ref).view(np.uint32)
+    )
 
 
 def test_tiny_grid_backend_guard(monkeypatch):
