@@ -492,12 +492,14 @@ def envelope_dual_combine_pallas(
     )(res, fa, fb)
 
 
-def _line_pass_dual_kernel(n: int, mask_ref, outa_ref, outb_ref):
+def _line_pass_dual_kernel(n: int, square: bool, mask_ref, outa_ref, outb_ref):
     """Both binary line passes (seeds = mask, seeds = ~mask) from ONE mask
     read. The pass is LATENCY-bound (n sequential one-row steps at ~125 ns
     regardless of row width — see `_line_pass_kernel`), so folding the
     second field into the same sequential sweeps is nearly free: ~half the
-    cost of two separate passes, and the mask is read from HBM once."""
+    cost of two separate passes, and the mask is read from HBM once.
+    ``square`` selects d^2/INF_D2 vs linear/1<<24 output (same convention
+    as `_line_pass_kernel`; the sharded boundary combine needs linear)."""
     BIG = n
     m = mask_ref[:] != 0
     outa_ref[:] = jnp.where(m, 0, BIG)
@@ -519,17 +521,24 @@ def _line_pass_dual_kernel(n: int, mask_ref, outa_ref, outb_ref):
     lax.fori_loop(0, n - 1, bwd, 0)
     da = outa_ref[:]
     db = outb_ref[:]
-    outa_ref[:] = jnp.where(da >= BIG, INF_D2, da * da)
-    outb_ref[:] = jnp.where(db >= BIG, INF_D2, db * db)
+    if square:
+        outa_ref[:] = jnp.where(da >= BIG, INF_D2, da * da)
+        outb_ref[:] = jnp.where(db >= BIG, INF_D2, db * db)
+    else:
+        outa_ref[:] = jnp.where(da >= BIG, 1 << 24, da)
+        outb_ref[:] = jnp.where(db >= BIG, 1 << 24, db)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def line_pass_dual_pallas(mask: jax.Array, interpret: bool = False):
+@functools.partial(jax.jit, static_argnames=("interpret", "square"))
+def line_pass_dual_pallas(
+    mask: jax.Array, interpret: bool = False, square: bool = True
+):
     """(d2_mask_seeds, d2_complement_seeds): squared line distances along
-    axis 0 to the True set and to the False set, from one mask read."""
+    axis 0 to the True set and to the False set, from one mask read; linear
+    with the 1<<24 sentinel when ``square=False`` (sharded combine)."""
     X, Y, Z = mask.shape
     if Z == 1 and Y > 1:
-        oa, ob = line_pass_dual_pallas(mask.reshape(X, 1, Y), interpret)
+        oa, ob = line_pass_dual_pallas(mask.reshape(X, 1, Y), interpret, square)
         return oa.reshape(X, Y, 1), ob.reshape(X, Y, 1)
     zt = _lane_tile(Z)
     yt_target = max(1, _LINE_BLOCK_BYTES // (2 * X * zt * 4))
@@ -540,7 +549,7 @@ def line_pass_dual_pallas(mask: jax.Array, interpret: bool = False):
     grid = (Y // yt, Z // zt)
     block = (X, yt, zt)
     index_map = lambda i, j: (0, i, j)
-    kernel = functools.partial(_line_pass_dual_kernel, X)
+    kernel = functools.partial(_line_pass_dual_kernel, X, square)
     spec = pl.BlockSpec(block, index_map, memory_space=pltpu.VMEM)
     # 1 in + 2 out double-buffered + row temporaries ~ 12 live block copies
     # (measured 1.54M needed at a 131K block — the 2D image path); keep the

@@ -134,13 +134,89 @@ def sharded_squared_edt(
     return f
 
 
+def _local_line_d2_dual_sharded_axis0(
+    mask_local: Array, axis_name: str
+) -> Tuple[Array, Array]:
+    """Both fields' line distances along the sharded axis 0 from ONE local
+    dual pass and ONE stacked boundary-summary all_gather (the fused
+    counterpart of `_local_line_d2_sharded_axis0`; NOTES §17). Returns
+    LINEAR distances with the 1<<24 sentinel for (seeds=mask, seeds=~mask).
+    """
+    n_local = mask_local.shape[0]
+    idx = lax.axis_index(axis_name)
+    if edt.resolve_backend("auto") == "pallas":
+        from ..ops import edt_pallas
+
+        interpret = jax.default_backend() not in ("tpu", "axon")
+        da, db = edt_pallas.line_pass_dual_pallas(
+            mask_local, interpret=interpret, square=False
+        )
+    else:
+        da = edt.line_distance_to_seed(mask_local, 0)
+        db = edt.line_distance_to_seed(~mask_local, 0)
+    SENT = jnp.int32(1 << 24)
+    iota = jnp.arange(n_local, dtype=jnp.int32)[:, None, None]
+
+    def summaries(m):
+        first_seed = jnp.min(jnp.where(m, iota, SENT), axis=0)
+        last_seed = jnp.max(jnp.where(m, iota, -SENT), axis=0)
+        low = jnp.where(first_seed >= SENT, SENT, first_seed)
+        high = jnp.where(last_seed <= -SENT, SENT, n_local - 1 - last_seed)
+        return low, high
+
+    low_a, high_a = summaries(mask_local)
+    low_b, high_b = summaries(~mask_local)
+    # one collective for all four per-line summaries: [P, 4, ny, nz]
+    packed = jnp.stack([low_a, high_a, low_b, high_b], axis=0)
+    allp = lax.all_gather(packed, axis_name)
+    P_ = allp.shape[0]
+    sh = jnp.arange(P_, dtype=jnp.int32)[:, None, None]
+
+    def combine(d_local, lows, highs):
+        below = jnp.where(sh < idx, (idx - sh - 1) * n_local + highs + 1, SENT)
+        best_below = jnp.min(below, axis=0)
+        above = jnp.where(sh > idx, (sh - idx - 1) * n_local + lows + 1, SENT)
+        best_above = jnp.min(above, axis=0)
+        d = jnp.minimum(
+            d_local,
+            jnp.minimum(
+                best_below[None] + iota[:, :, :],
+                best_above[None] + (n_local - 1 - iota),
+            ),
+        )
+        return jnp.minimum(d, SENT)
+
+    da = combine(da, allp[:, 0], allp[:, 1])
+    db = combine(db, allp[:, 2], allp[:, 3])
+    return da, db
+
+
 def sharded_signed_field(
     filled_local: Array,
     resolution,
     axis_name: str = "x",
     backend: str = "auto",
 ) -> Array:
-    """Sharded two-field signed combine (local slab of the global SDF)."""
+    """Sharded two-field signed combine (local slab of the global SDF).
+
+    On the pallas backend the two fields run FUSED end to end, mirroring
+    the single-device route (NOTES §17): one dual line pass + one stacked
+    boundary collective, dual y envelope, and the z envelope with the
+    signed combine as kernel epilogue. Bitwise identical to the separate
+    per-field path.
+    """
+    if edt.resolve_backend(backend) == "pallas" and filled_local.ndim == 3:
+        from ..ops import edt_pallas
+
+        interpret = jax.default_backend() not in ("tpu", "axon")
+        SENT = jnp.int32(1 << 24)
+        da, db = _local_line_d2_dual_sharded_axis0(filled_local, axis_name)
+        fa = jnp.where(da >= SENT, edt.INF_D2, da * da).astype(jnp.int32)
+        fb = jnp.where(db >= SENT, edt.INF_D2, db * db).astype(jnp.int32)
+        fa, fb = edt_pallas.envelope_dual_pallas(fa, fb, 1, interpret=interpret)
+        return edt_pallas.envelope_dual_combine_pallas(
+            fa, fb, resolution, interpret=interpret
+        )
     d2f = sharded_squared_edt(filled_local, axis_name, backend)
     d2e = sharded_squared_edt(~filled_local, axis_name, backend)
     return edt.d2_to_distance(d2f, resolution) - edt.d2_to_distance(d2e, resolution)

@@ -68,6 +68,39 @@ def test_sharded_signed_field():
     np.testing.assert_allclose(out, np.asarray(ref), rtol=1e-6, atol=1e-7)
 
 
+def test_sharded_signed_field_fused_dual():
+    """The pallas route of sharded_signed_field (dual line pass + ONE
+    stacked boundary collective + dual envelopes + combine epilogue,
+    NOTES §17) is bitwise identical to the single-device fused field.
+    check_vma=False: see test_pallas_backend_inside_shard_map (interpret-
+    mode pallas drops varying-manual-axes types; real TPUs unaffected)."""
+    rng = np.random.default_rng(4)
+    mask = rng.random((32, 16, 8)) < 0.15
+    mask[0, 0, 0] = True
+    res = 0.1
+    mesh = _mesh_1d(8)
+    f = shard_map(
+        lambda m: sharded.sharded_signed_field(m, res, "x", backend="pallas"),
+        mesh=mesh,
+        in_specs=P("x"),
+        out_specs=P("x"),
+        check_vma=False,
+    )
+    out = np.asarray(jax.jit(f)(jnp.asarray(mask)))
+    ref, _, _ = edt.signed_field_from_masks(jnp.asarray(mask), res, backend="pallas")
+    np.testing.assert_array_equal(
+        out.view(np.uint32), np.asarray(ref).view(np.uint32)
+    )
+    # lines with seeds in only one shard + seedless free-field lines
+    mask2 = np.zeros((32, 4, 4), bool)
+    mask2[3, 0, 0] = True
+    out2 = np.asarray(jax.jit(f)(jnp.asarray(mask2)))
+    ref2, _, _ = edt.signed_field_from_masks(jnp.asarray(mask2), res, backend="pallas")
+    np.testing.assert_array_equal(
+        out2.view(np.uint32), np.asarray(ref2).view(np.uint32)
+    )
+
+
 def test_halo_envelope_matches_local():
     rng = np.random.default_rng(2)
     shape = (32, 8, 8)
