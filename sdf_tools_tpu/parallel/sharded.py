@@ -362,6 +362,36 @@ def sharded_signed_field_2d(
     backend: str = "auto",
     method: str = "reshard",
 ) -> Array:
+    """Signed field on a 2-D (x, y) tile mesh (local tile of the global SDF).
+
+    The pallas + reshard route runs both fields FUSED (NOTES §17): one dual
+    line pass + one stacked boundary collective over axis_x, dual z
+    envelope, ONE stacked all_to_all carrying both fields, dual y envelope,
+    and the combine BEFORE resharding back — so the return all_to_all moves
+    one f32 volume instead of two i32 volumes (2/3 of the reshard traffic
+    of the unfused path in total). Bitwise identical to the unfused route.
+    """
+    if (
+        edt.resolve_backend(backend) == "pallas"
+        and method == "reshard"
+        and filled_local.ndim == 3
+    ):
+        from ..ops import edt_pallas
+
+        interpret = jax.default_backend() not in ("tpu", "axon")
+        SENT = jnp.int32(1 << 24)
+        da, db = _local_line_d2_dual_sharded_axis0(filled_local, axis_x)
+        fa = jnp.where(da >= SENT, edt.INF_D2, da * da).astype(jnp.int32)
+        fb = jnp.where(db >= SENT, edt.INF_D2, db * db).astype(jnp.int32)
+        fa, fb = edt_pallas.envelope_dual_pallas(fa, fb, 2, interpret=interpret)
+        packed = jnp.stack([fa, fb])
+        packed = _all_to_all_swap(packed, axis_y, split_axis=3, concat_axis=2)
+        fa, fb = packed[0], packed[1]
+        fa, fb = edt_pallas.envelope_dual_pallas(fa, fb, 1, interpret=interpret)
+        dist = edt.d2_to_distance(fa, resolution) - edt.d2_to_distance(
+            fb, resolution
+        )
+        return _all_to_all_swap(dist, axis_y, split_axis=1, concat_axis=2)
     d2f = sharded_squared_edt_2d(filled_local, axis_x, axis_y, backend, method)
     d2e = sharded_squared_edt_2d(~filled_local, axis_x, axis_y, backend, method)
     return edt.d2_to_distance(d2f, resolution) - edt.d2_to_distance(d2e, resolution)

@@ -176,6 +176,30 @@ def test_sharded_signed_field_2d_mesh():
     np.testing.assert_allclose(out, np.asarray(ref), rtol=1e-6, atol=1e-7)
 
 
+def test_sharded_signed_field_2d_mesh_fused_dual():
+    """Fused pallas route on the (x, y) tile mesh (dual kernels + stacked
+    all_to_all + combine-before-reshard) is bitwise identical to the
+    single-device fused field. check_vma=False: interpret-mode pallas
+    drops varying-manual-axes types (see test_pallas_backend_inside_
+    shard_map)."""
+    rng = np.random.default_rng(9)
+    mask = rng.random((16, 32, 8)) < 0.15
+    mask[0, 0, 0] = True
+    mesh = sharded.make_mesh({"x": 2, "y": 4})
+    f = shard_map(
+        lambda m: sharded.sharded_signed_field_2d(m, 0.1, "x", "y", "pallas"),
+        mesh=mesh,
+        in_specs=P("x", "y"),
+        out_specs=P("x", "y"),
+        check_vma=False,
+    )
+    out = np.asarray(jax.jit(f)(jnp.asarray(mask)))
+    ref, _, _ = edt.signed_field_from_masks(jnp.asarray(mask), 0.1, backend="pallas")
+    np.testing.assert_array_equal(
+        out.view(np.uint32), np.asarray(ref).view(np.uint32)
+    )
+
+
 def test_pallas_backend_inside_shard_map():
     """The production TPU path runs the Pallas kernels INSIDE shard_map;
     exercise it here via interpret mode on the virtual mesh (VERDICT weak 4).
