@@ -37,15 +37,14 @@ assert mismatch == 0, "TPU EDT is not exact!"
 # path, scalar mismatch counts fetched (full volumes never cross the
 # tunnel)
 t0 = time.time()
-mm_a, mm_b = jax.jit(
-    lambda m, ref_a: (
-        jnp.sum(edt.squared_edt_both(m, backend=backend)[0] != ref_a),
-        jnp.sum(
-            edt.squared_edt_both(m, backend=backend)[1]
-            != edt.squared_edt(~m, backend=backend)
-        ),
+def _dual_mismatches(m, ref_a):
+    fa, fb = edt.squared_edt_both(m, backend=backend)  # traced ONCE
+    return (
+        jnp.sum(fa != ref_a),
+        jnp.sum(fb != edt.squared_edt(~m, backend=backend)),
     )
-)(jnp.asarray(mask), jnp.asarray(d2_tpu))
+
+mm_a, mm_b = jax.jit(_dual_mismatches)(jnp.asarray(mask), jnp.asarray(d2_tpu))
 print(f"dual-field fused path: {time.time()-t0:.2f}s, "
       f"mismatches filled={int(mm_a)} free={int(mm_b)}")
 assert int(mm_a) == 0 and int(mm_b) == 0, "fused dual path deviates!"

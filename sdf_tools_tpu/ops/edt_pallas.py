@@ -133,6 +133,13 @@ def _envelope_kernel(
     per step (pads must read INF at every step's input; a relaxed pad value
     rolled back in would encode a wrap-around path).
     """
+    if not pad and not tree and not hoist:
+        # production default: ONE copy of the relaxation loop, shared with
+        # the dual/combine kernels (min is associative+commutative on
+        # int32, so the interleaved candidate reduction is bit-identical
+        # to the collect-then-reduce form below)
+        out_ref[:] = _relax_to_envelope(d_ref[:], axis, n, k, check_every)
+        return
     d0 = d_ref[:]
     idx = lax.broadcasted_iota(jnp.int32, d0.shape, axis)
     if pad:
@@ -457,11 +464,13 @@ def envelope_dual_combine_pallas(
     X, Y, Z = fa.shape
     res = jnp.asarray(resolution, jnp.float32).reshape(1)
     if Z == 1 or (Y == 1 and X > 1):
-        # degenerate layouts reshape in the plain dual kernel; combine in XLA
+        # degenerate layouts reshape in the plain dual kernel; combine in
+        # XLA via the canonical d2_to_distance (cycle-safe: edt imports
+        # this module lazily)
+        from . import edt as _edt
+
         oa, ob = envelope_dual_pallas(fa, fb, 2, interpret, ka, kb, check_every)
-        va = jnp.sqrt(jnp.where(oa >= INF_D2, jnp.inf, oa.astype(jnp.float32)))
-        vb = jnp.sqrt(jnp.where(ob >= INF_D2, jnp.inf, ob.astype(jnp.float32)))
-        return va * res[0] - vb * res[0]
+        return _edt.d2_to_distance(oa, res[0]) - _edt.d2_to_distance(ob, res[0])
     yt = 8 if Y % 8 == 0 else Y
     xt = _pick_tile(X, max(1, _BLOCK_BYTES // (yt * Z * 4)))
     grid = (X // xt, Y // yt)

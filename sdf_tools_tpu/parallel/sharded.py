@@ -57,7 +57,16 @@ def make_mesh(axis_sizes: dict[str, int], devices=None) -> Mesh:
 # ---------------------------------------------------------------------------
 
 
-def _local_line_d2_sharded_axis0(mask_local: Array, axis_name: str) -> Array:
+def _square_line_d2(d: Array) -> Array:
+    """Linear line distance (1<<24 sentinel) -> squared d^2 (INF_D2
+    sentinel) — the one canonical copy of the sentinel-squaring math."""
+    no_seed = d >= jnp.int32(1 << 24)
+    return jnp.where(no_seed, edt.INF_D2, d * d).astype(jnp.int32)
+
+
+def _local_line_d2_sharded_axis0(
+    mask_local: Array, axis_name: str, backend: str = "auto"
+) -> Array:
     """Binary line-distance pass along the SHARDED axis 0.
 
     Each shard computes distance to its local nearest seed with the cummax
@@ -69,10 +78,12 @@ def _local_line_d2_sharded_axis0(mask_local: Array, axis_name: str) -> Array:
     """
     n_local = mask_local.shape[0]
     idx = lax.axis_index(axis_name)
-    # local pass: the Pallas line kernel where available — the XLA cummax
+    # local pass: the Pallas line kernel where selected — the XLA cummax
     # variant costs ~110 ms/field at 512^3 vs ~8 ms (docs/NOTES.md §5) and
-    # was the bulk of the measured 19% mesh=1 sharding overhead
-    if edt.resolve_backend("auto") == "pallas":
+    # was the bulk of the measured 19% mesh=1 sharding overhead.
+    # _effective_backend also keeps tiny local slabs off real Mosaic
+    # (degenerate-shape guard, ops/edt.py / NOTES §18).
+    if edt._effective_backend(backend, mask_local) == "pallas":
         from ..ops import edt_pallas
 
         interpret = jax.default_backend() not in ("tpu", "axon")
@@ -109,10 +120,12 @@ def _local_line_d2_sharded_axis0(mask_local: Array, axis_name: str) -> Array:
     return jnp.minimum(d, SENT)
 
 
-def _sharded_line_pass_d2(mask_local: Array, axis_name: str) -> Array:
-    d = _local_line_d2_sharded_axis0(mask_local, axis_name)
-    no_seed = d >= jnp.int32(1 << 24)
-    return jnp.where(no_seed, edt.INF_D2, d * d).astype(jnp.int32)
+def _sharded_line_pass_d2(
+    mask_local: Array, axis_name: str, backend: str = "auto"
+) -> Array:
+    return _square_line_d2(
+        _local_line_d2_sharded_axis0(mask_local, axis_name, backend)
+    )
 
 
 def sharded_squared_edt(
@@ -127,15 +140,15 @@ def sharded_squared_edt(
     then local envelope passes along y and z — both have their full axis
     extents locally, so no further communication is needed.
     """
-    env = edt._ENVELOPE_BACKENDS[edt.resolve_backend(backend)]
-    f = _sharded_line_pass_d2(mask_local, axis_name)
+    env = edt._ENVELOPE_BACKENDS[edt._effective_backend(backend, mask_local)]
+    f = _sharded_line_pass_d2(mask_local, axis_name, backend)
     f = env(f, 1)
     f = env(f, 2)
     return f
 
 
 def _local_line_d2_dual_sharded_axis0(
-    mask_local: Array, axis_name: str
+    mask_local: Array, axis_name: str, backend: str = "auto"
 ) -> Tuple[Array, Array]:
     """Both fields' line distances along the sharded axis 0 from ONE local
     dual pass and ONE stacked boundary-summary all_gather (the fused
@@ -144,7 +157,7 @@ def _local_line_d2_dual_sharded_axis0(
     """
     n_local = mask_local.shape[0]
     idx = lax.axis_index(axis_name)
-    if edt.resolve_backend("auto") == "pallas":
+    if edt._effective_backend(backend, mask_local) == "pallas":
         from ..ops import edt_pallas
 
         interpret = jax.default_backend() not in ("tpu", "axon")
@@ -205,14 +218,18 @@ def sharded_signed_field(
     signed combine as kernel epilogue. Bitwise identical to the separate
     per-field path.
     """
-    if edt.resolve_backend(backend) == "pallas" and filled_local.ndim == 3:
+    if (
+        edt._effective_backend(backend, filled_local) == "pallas"
+        and filled_local.ndim == 3
+    ):
         from ..ops import edt_pallas
 
         interpret = jax.default_backend() not in ("tpu", "axon")
-        SENT = jnp.int32(1 << 24)
-        da, db = _local_line_d2_dual_sharded_axis0(filled_local, axis_name)
-        fa = jnp.where(da >= SENT, edt.INF_D2, da * da).astype(jnp.int32)
-        fb = jnp.where(db >= SENT, edt.INF_D2, db * db).astype(jnp.int32)
+        da, db = _local_line_d2_dual_sharded_axis0(
+            filled_local, axis_name, backend
+        )
+        fa = _square_line_d2(da)
+        fb = _square_line_d2(db)
         fa, fb = edt_pallas.envelope_dual_pallas(fa, fb, 1, interpret=interpret)
         return edt_pallas.envelope_dual_combine_pallas(
             fa, fb, resolution, interpret=interpret
@@ -336,8 +353,8 @@ def sharded_squared_edt_2d(
         relaxation over ``axis_y`` (comm scales with iteration count / K);
         z envelope local; no resharding.
     """
-    env = edt._ENVELOPE_BACKENDS[edt.resolve_backend(backend)]
-    f = _sharded_line_pass_d2(mask_local, axis_x)
+    env = edt._ENVELOPE_BACKENDS[edt._effective_backend(backend, mask_local)]
+    f = _sharded_line_pass_d2(mask_local, axis_x, backend)
     if method == "reshard":
         f = env(f, 2)  # z is fully local on the input tiling
         f = _all_to_all_swap(f, axis_y, split_axis=2, concat_axis=1)  # [nxl, ny, nzl]
@@ -372,17 +389,18 @@ def sharded_signed_field_2d(
     of the unfused path in total). Bitwise identical to the unfused route.
     """
     if (
-        edt.resolve_backend(backend) == "pallas"
+        edt._effective_backend(backend, filled_local) == "pallas"
         and method == "reshard"
         and filled_local.ndim == 3
     ):
         from ..ops import edt_pallas
 
         interpret = jax.default_backend() not in ("tpu", "axon")
-        SENT = jnp.int32(1 << 24)
-        da, db = _local_line_d2_dual_sharded_axis0(filled_local, axis_x)
-        fa = jnp.where(da >= SENT, edt.INF_D2, da * da).astype(jnp.int32)
-        fb = jnp.where(db >= SENT, edt.INF_D2, db * db).astype(jnp.int32)
+        da, db = _local_line_d2_dual_sharded_axis0(
+            filled_local, axis_x, backend
+        )
+        fa = _square_line_d2(da)
+        fb = _square_line_d2(db)
         fa, fb = edt_pallas.envelope_dual_pallas(fa, fb, 2, interpret=interpret)
         packed = jnp.stack([fa, fb])
         packed = _all_to_all_swap(packed, axis_y, split_axis=3, concat_axis=2)
